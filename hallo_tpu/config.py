@@ -1,0 +1,271 @@
+"""Configuration system.
+
+Mirrors the reference's OmegaConf-YAML + CLI-override behavior
+(reference: scripts/inference.py:129-131, hallo/utils/config.py:8-25) while
+exposing typed dataclasses for the model stack so that everything that
+reaches jit is static and hashable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Optional, Sequence, Tuple
+
+try:
+    from omegaconf import OmegaConf
+except ImportError:  # pragma: no cover - omegaconf is expected in the image
+    OmegaConf = None
+
+
+# ---------------------------------------------------------------------------
+# Typed model configs (hashable -> safe to close over / pass as static args)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MotionModuleConfig:
+    """AnimateDiff-style temporal module config.
+
+    Reference: hallo/models/motion_module.py:126-268 and
+    configs/inference/default.yaml:60-68.
+    """
+
+    num_attention_heads: int = 8
+    num_transformer_block: int = 1
+    attention_block_types: Tuple[str, ...] = ("Temporal_Self", "Temporal_Self")
+    temporal_position_encoding: bool = True
+    temporal_position_encoding_max_len: int = 32
+    temporal_attention_dim_div: int = 1
+    norm_num_groups: int = 32
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    """Config shared by the ReferenceNet (2D) and denoising (3D) UNets.
+
+    Field semantics follow the reference UNets
+    (hallo/models/unet_3d.py:120-361, hallo/models/unet_2d_condition.py:93)
+    so converted SD-1.5 / AnimateDiff / hallo checkpoints line up 1:1.
+    """
+
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    down_block_types: Tuple[str, ...] = (
+        "CrossAttnDownBlock",
+        "CrossAttnDownBlock",
+        "CrossAttnDownBlock",
+        "DownBlock",
+    )
+    up_block_types: Tuple[str, ...] = (
+        "UpBlock",
+        "CrossAttnUpBlock",
+        "CrossAttnUpBlock",
+        "CrossAttnUpBlock",
+    )
+    # SD-1.5 quirk: `attention_head_dim=8` actually means 8 *heads*
+    # (reference: unet_3d_blocks.py:572-573 divides channels by it).
+    num_attention_heads: int = 8
+    cross_attention_dim: int = 768
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-5
+    flip_sin_to_cos: bool = True
+    freq_shift: int = 0
+    use_linear_projection: bool = False
+    upcast_attention: bool = False
+    use_inflated_groupnorm: bool = True
+
+    # --- temporal / motion ---
+    use_motion_module: bool = False
+    motion_module_resolutions: Tuple[int, ...] = (1, 2, 4, 8)
+    motion_module_mid_block: bool = True
+    motion_module_decoder_only: bool = False
+    motion_module: MotionModuleConfig = field(default_factory=MotionModuleConfig)
+
+    # --- audio ---
+    use_audio_module: bool = False
+    audio_attention_dim: int = 768
+    stack_enable_blocks_name: Tuple[str, ...] = ("up", "down", "mid")
+    stack_enable_blocks_depth: Tuple[int, ...] = (0, 1, 2, 3)
+
+    # Where motion-frame features are fused before the motion module.
+    # The reference concatenates them in *all* blocks on the training
+    # (grad-checkpointing) path but only in the mid block at eval
+    # (unet_3d_blocks.py:482-490 vs :750-770, :1203-1229). "mid" reproduces
+    # reference inference; "all" reproduces reference training.
+    motion_frame_fusion: str = "mid"
+
+    @property
+    def num_down_attention_blocks(self) -> int:
+        return sum(
+            self.layers_per_block
+            for t in self.down_block_types
+            if t.startswith("CrossAttn")
+        )
+
+
+@dataclass(frozen=True)
+class VAEConfig:
+    """sd-vae-ft-mse / SD-1.5 AutoencoderKL architecture."""
+
+    in_channels: int = 3
+    out_channels: int = 3
+    latent_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    scaling_factor: float = 0.18215  # face_animate.py:234,336
+
+
+@dataclass(frozen=True)
+class Wav2Vec2Config:
+    """facebook/wav2vec2-base-960h encoder architecture (HF semantics)."""
+
+    conv_dim: Tuple[int, ...] = (512, 512, 512, 512, 512, 512, 512)
+    conv_kernel: Tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    conv_bias: bool = False
+    feat_extract_norm: str = "group"  # "group" for -base
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    do_stable_layer_norm: bool = False  # post-norm for -base
+    layer_norm_eps: float = 1e-5
+
+
+@dataclass(frozen=True)
+class SchedulerConfig:
+    """DDIM with zero-SNR rescale / v-prediction / trailing spacing.
+
+    Reference: configs/inference/default.yaml:79-90. NOTE the reference
+    constructs the inference scheduler with beta_schedule="linear" (the
+    "scaled_linear" update at scripts/inference.py:193 lands after
+    construction), so "linear" is inference-parity.
+    """
+
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = "linear"
+    clip_sample: bool = False
+    steps_offset: int = 1
+    prediction_type: str = "v_prediction"
+    rescale_betas_zero_snr: bool = True
+    timestep_spacing: str = "trailing"
+
+
+@dataclass(frozen=True)
+class AudioProjConfig:
+    """AudioProjModel dims (hallo/models/audio_proj.py:40-124)."""
+
+    seq_len: int = 5  # ±2-frame window
+    blocks: int = 12  # wav2vec2 hidden layers
+    channels: int = 768
+    intermediate_dim: int = 512
+    output_dim: int = 768
+    context_tokens: int = 32
+
+
+@dataclass(frozen=True)
+class ImageProjConfig:
+    """ImageProjModel dims (hallo/models/image_proj.py:23-76)."""
+
+    cross_attention_dim: int = 768
+    clip_embeddings_dim: int = 512  # ArcFace embedding
+    clip_extra_context_tokens: int = 4
+
+
+@dataclass(frozen=True)
+class FaceLocatorConfig:
+    conditioning_embedding_channels: int = 320
+    conditioning_channels: int = 3
+    block_out_channels: Tuple[int, ...] = (16, 32, 64, 128)
+
+
+def reference_unet_config(**overrides: Any) -> UNetConfig:
+    """The 2D ReferenceNet: plain SD-1.5 UNet, no motion/audio modules."""
+    base = dict(
+        use_motion_module=False,
+        use_audio_module=False,
+        use_inflated_groupnorm=False,
+    )
+    base.update(overrides)
+    return UNetConfig(**base)
+
+
+def denoising_unet_config(**overrides: Any) -> UNetConfig:
+    """The 3D denoising UNet with motion + hierarchical audio modules
+    (configs/inference/default.yaml:46-74)."""
+    base = dict(
+        use_motion_module=True,
+        use_audio_module=True,
+        use_inflated_groupnorm=True,
+    )
+    base.update(overrides)
+    return UNetConfig(**base)
+
+
+# ---------------------------------------------------------------------------
+# YAML <-> dataclass plumbing
+# ---------------------------------------------------------------------------
+
+
+def _tupled(value: Any) -> Any:
+    if isinstance(value, (list, tuple)):
+        return tuple(_tupled(v) for v in value)
+    return value
+
+
+def unet_config_from_yaml_kwargs(kwargs: Mapping[str, Any], **extra: Any) -> UNetConfig:
+    """Build a UNetConfig from the reference's `unet_additional_kwargs` YAML
+    sub-tree (configs/inference/default.yaml:46-74)."""
+    kwargs = dict(kwargs)
+    mm_kwargs = kwargs.pop("motion_module_kwargs", {}) or {}
+    motion = MotionModuleConfig(
+        num_attention_heads=int(mm_kwargs.get("num_attention_heads", 8)),
+        num_transformer_block=int(mm_kwargs.get("num_transformer_block", 1)),
+        attention_block_types=_tupled(
+            mm_kwargs.get("attention_block_types", ("Temporal_Self", "Temporal_Self"))
+        ),
+        temporal_position_encoding=bool(
+            mm_kwargs.get("temporal_position_encoding", True)
+        ),
+        temporal_position_encoding_max_len=int(
+            mm_kwargs.get("temporal_position_encoding_max_len", 32)
+        ),
+        temporal_attention_dim_div=int(mm_kwargs.get("temporal_attention_dim_div", 1)),
+    )
+    known = {f.name for f in dataclasses.fields(UNetConfig)}
+    picked = {}
+    for key, value in kwargs.items():
+        if key in known:
+            picked[key] = _tupled(value)
+    # Reference-only knobs we intentionally ignore (always-false in configs):
+    # use_landmark, unet_use_cross_frame_attention, unet_use_temporal_attention,
+    # motion_module_type ("Vanilla" is the only implementation).
+    picked.update(extra)
+    picked["motion_module"] = motion
+    return UNetConfig(**picked)
+
+
+def load_yaml(path: str) -> Any:
+    if OmegaConf is None:
+        raise RuntimeError("omegaconf is required to load YAML configs")
+    return OmegaConf.load(path)
+
+
+def filter_non_none(mapping: Mapping[str, Any]) -> dict:
+    """Drop unset CLI args before merging into YAML config
+    (reference: hallo/utils/config.py:8-25)."""
+    return {k: v for k, v in mapping.items() if v is not None}
+
+
+def merge_cli_overrides(config: Any, args: Mapping[str, Any]) -> Any:
+    if OmegaConf is None:
+        raise RuntimeError("omegaconf is required to merge configs")
+    return OmegaConf.merge(config, filter_non_none(dict(args)))

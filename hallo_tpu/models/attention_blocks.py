@@ -1,0 +1,227 @@
+"""Transformer blocks for the UNets.
+
+Functional re-design of hallo/models/attention.py + mutual_self_attention.py:
+the reference's monkey-patched feature "bank" becomes explicit inputs/outputs.
+
+- `BasicTransformerBlock` (ReferenceNet write-side): returns its pre-attention
+  normed hidden states as `ref_feature` (the value the reference appends to
+  `module.bank`, mutual_self_attention.py:223-232).
+- `SpatialTransformerBlock` (denoiser read-side; reference
+  TemporalBasicTransformerBlock under the read hook): self-attention whose KV
+  is [self, ref_feature]; the CFG-uncond half masks out the ref tokens with an
+  additive logits bias, which is exactly the reference's "plain self-attn for
+  the uncond half" recomputation (mutual_self_attention.py:264-284) without a
+  second attention call.
+- `AudioTransformerBlock` (reference AudioTemporalBasicTransformerBlock,
+  attention.py:621-907): hierarchical 3-branch masked audio cross-attention
+  with zero-init per-channel projections.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from hallo_tpu.models.layers import (
+    CrossAttention,
+    Dense,
+    Dtype,
+    FeedForward,
+    LayerNorm,
+)
+
+NEG_INF = -1e9
+
+
+class BasicTransformerBlock(nn.Module):
+    """norm1 -> self-attn -> norm2 -> cross-attn(context) -> norm3 -> ff.
+
+    Used by the ReferenceNet. Returns (hidden_states, ref_feature) where
+    ref_feature is the norm1 output (reference attention.py:79-407 +
+    mutual_self_attention.py write mode).
+    """
+
+    heads: int
+    head_dim: int
+    upcast_attention: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, context: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        normed = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        ref_feature = normed
+        x = x + CrossAttention(
+            self.heads,
+            self.head_dim,
+            upcast=self.upcast_attention,
+            dtype=self.dtype,
+            name="attn1",
+        )(normed)
+        normed = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        x = x + CrossAttention(
+            self.heads,
+            self.head_dim,
+            upcast=self.upcast_attention,
+            dtype=self.dtype,
+            name="attn2",
+        )(normed, context)
+        x = x + FeedForward(x.shape[-1], dtype=self.dtype, name="ff")(
+            LayerNorm(dtype=self.dtype, name="norm3")(x)
+        )
+        return x, ref_feature
+
+
+class SpatialTransformerBlock(nn.Module):
+    """Denoiser spatial block with reference-feature KV injection.
+
+    Inputs are frame-folded: x (B*F, L, C); ref_feature (B, L, C) from the
+    ReferenceNet's matching block; context (B, T, Dc) identity tokens;
+    uncond_mask (B,) marks CFG-uncond batch entries whose queries must not
+    attend to ref tokens (reference mutual_self_attention.py:155-284).
+    """
+
+    heads: int
+    head_dim: int
+    upcast_attention: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        ref_feature: Optional[jax.Array],
+        context: jax.Array,
+        frames: int,
+        uncond_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        bf, l, c = x.shape
+        b = bf // frames
+        normed = LayerNorm(dtype=self.dtype, name="norm1")(x)
+
+        attn1 = CrossAttention(
+            self.heads,
+            self.head_dim,
+            upcast=self.upcast_attention,
+            dtype=self.dtype,
+            name="attn1",
+        )
+        if ref_feature is None:
+            x = x + attn1(normed)
+        else:
+            # KV = [self tokens, ref tokens] per frame.
+            ref = jnp.repeat(ref_feature.astype(normed.dtype), frames, axis=0)
+            kv = jnp.concatenate([normed, ref], axis=1)
+            bias = None
+            if uncond_mask is not None:
+                # (B,) -> (B*F, 1, 1, L + Lref): uncond entries mask ref tokens.
+                blocked = jnp.repeat(uncond_mask, frames, axis=0).astype(jnp.float32)
+                ref_bias = blocked[:, None, None, None] * NEG_INF
+                bias = jnp.concatenate(
+                    [
+                        jnp.zeros((bf, 1, 1, l), jnp.float32),
+                        jnp.broadcast_to(ref_bias, (bf, 1, 1, ref.shape[1])),
+                    ],
+                    axis=-1,
+                )
+            x = x + attn1(normed, kv, bias=bias)
+
+        normed = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        ctx = jnp.repeat(context, frames, axis=0) if context.shape[0] == b else context
+        x = x + CrossAttention(
+            self.heads,
+            self.head_dim,
+            upcast=self.upcast_attention,
+            dtype=self.dtype,
+            name="attn2",
+        )(normed, ctx)
+        x = x + FeedForward(c, dtype=self.dtype, name="ff")(
+            LayerNorm(dtype=self.dtype, name="norm3")(x)
+        )
+        return x
+
+
+class AudioTransformerBlock(nn.Module):
+    """Hierarchical audio cross-attention block.
+
+    x: (B*F, L, C); audio_context: (B*F, T_audio, Da); masks full/face/lip:
+    (B*F, L) in [0,1]. When `hierarchical` is True, three parallel cross-attns
+    are masked, passed through zero-init per-channel linears (the reference's
+    1x1 zero convs, attention.py:691-701), and weighted by motion_scale
+    [pose, face, lip] (attention.py:846-903). Otherwise a single cross-attn.
+    """
+
+    heads: int
+    head_dim: int
+    hierarchical: bool = True
+    upcast_attention: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        audio_context: jax.Array,
+        full_mask: Optional[jax.Array] = None,
+        face_mask: Optional[jax.Array] = None,
+        lip_mask: Optional[jax.Array] = None,
+        motion_scale: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        c = x.shape[-1]
+        normed = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = x + CrossAttention(
+            self.heads,
+            self.head_dim,
+            out_dim=c,
+            upcast=self.upcast_attention,
+            dtype=self.dtype,
+            name="attn1",
+        )(normed)
+
+        normed = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        if self.hierarchical:
+            branches = []
+            for name, zero_name, mask in (
+                ("attn2_0", "zero_conv_full", full_mask),
+                ("attn2_1", "zero_conv_face", face_mask),
+                ("attn2_2", "zero_conv_lip", lip_mask),
+            ):
+                h = CrossAttention(
+                    self.heads,
+                    self.head_dim,
+                    out_dim=c,
+                    upcast=self.upcast_attention,
+                    dtype=self.dtype,
+                    name=name,
+                )(normed, audio_context)
+                if mask is not None:
+                    h = h * mask[:, :, None].astype(h.dtype)
+                # 1x1 conv over channels == per-token linear.
+                h = Dense(c, dtype=self.dtype, zero_init=True, name=zero_name)(h)
+                branches.append(h)
+            if motion_scale is None:
+                motion_scale = jnp.ones((3,), jnp.float32)
+            x = (
+                x
+                + motion_scale[0] * branches[0]
+                + motion_scale[1] * branches[1]
+                + motion_scale[2] * branches[2]
+            )
+        else:
+            x = x + CrossAttention(
+                self.heads,
+                self.head_dim,
+                out_dim=c,
+                upcast=self.upcast_attention,
+                dtype=self.dtype,
+                name="attn2",
+            )(normed, audio_context)
+
+        x = x + FeedForward(c, dtype=self.dtype, name="ff")(
+            LayerNorm(dtype=self.dtype, name="norm3")(x)
+        )
+        return x

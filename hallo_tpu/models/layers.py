@@ -1,0 +1,233 @@
+"""Core NN building blocks (channels-last, TPU-friendly).
+
+Replaces the reference L1 layer (hallo/models/resnet.py primitives,
+diffusers Attention/FeedForward) with flax.linen modules that keep params in
+fp32 and compute in a configurable dtype (bf16 on TPU). All spatial tensors
+are NHWC; video tensors are (B, F, H, W, C) with frames folded into batch
+for spatial ops — the TPU-native equivalent of the reference's
+InflatedConv3d rearrange (hallo/models/resnet.py:50-66).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from hallo_tpu.ops.attention import dot_product_attention
+
+Dtype = jnp.dtype
+
+
+def group_norm(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    num_groups: int,
+    eps: float,
+) -> jax.Array:
+    """GroupNorm over all non-batch axes, channels-last, stats in fp32.
+
+    The caller controls the normalization extent by shaping the batch axis:
+    pass (B*F, H, W, C) for per-frame GroupNorm (torch nn.GroupNorm on folded
+    frames) or (B, F, H, W, C) for "inflated" GroupNorm whose stats span
+    (F, H, W) (reference: hallo/models/resnet.py:69-101).
+    """
+    orig_dtype = x.dtype
+    b, c = x.shape[0], x.shape[-1]
+    xf = x.astype(jnp.float32).reshape(b, -1, num_groups, c // num_groups)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(x.shape)
+    out = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(orig_dtype)
+
+
+class GroupNorm(nn.Module):
+    num_groups: int = 32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm(x, scale, bias, self.num_groups, self.eps)
+
+
+class LayerNorm(nn.Module):
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        out = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        out = out * scale + bias
+        return out.astype(self.dtype)
+
+
+class Dense(nn.Module):
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel_init = (
+            nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        )
+        return nn.Dense(
+            self.features,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=kernel_init,
+        )(x)
+
+
+class Conv(nn.Module):
+    """2D conv on NHWC inputs. For video, callers fold frames into batch."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: int = 1
+    dtype: Dtype = jnp.float32
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel_init = (
+            nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        )
+        return nn.Conv(
+            self.features,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            padding=[(self.padding, self.padding)] * 2,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=kernel_init,
+        )(x)
+
+
+def fold_time(x: jax.Array) -> Tuple[jax.Array, int]:
+    """(B, F, H, W, C) -> ((B*F, H, W, C), F)."""
+    b, f = x.shape[0], x.shape[1]
+    return x.reshape((b * f,) + x.shape[2:]), f
+
+
+def unfold_time(x: jax.Array, frames: int) -> jax.Array:
+    """(B*F, H, W, C) -> (B, F, H, W, C)."""
+    return x.reshape((x.shape[0] // frames, frames) + x.shape[1:])
+
+
+def timestep_embedding(
+    timesteps: jax.Array,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jax.Array:
+    """Sinusoidal timestep embedding, diffusers `Timesteps` semantics
+    (flip_sin_to_cos=True, freq_shift=0 per unet_3d.py:184-186)."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    out = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        out = jnp.pad(out, ((0, 0), (0, 1)))
+    return out
+
+
+class TimestepEmbedding(nn.Module):
+    """Linear -> SiLU -> Linear MLP over the sinusoidal embedding."""
+
+    embed_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb: jax.Array) -> jax.Array:
+        x = Dense(self.embed_dim, dtype=self.dtype, name="linear_1")(t_emb)
+        x = nn.silu(x)
+        x = Dense(self.embed_dim, dtype=self.dtype, name="linear_2")(x)
+        return x
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward, diffusers semantics: proj to 2*inner, value * gelu(gate)."""
+
+    dim: int
+    mult: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        inner = self.dim * self.mult
+        proj = Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        value, gate = jnp.split(proj, 2, axis=-1)
+        x = value * nn.gelu(gate, approximate=False)
+        x = Dense(self.dim, dtype=self.dtype, name="proj_out")(x)
+        return x
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention (self- when context is None), diffusers `Attention`
+    weight layout: to_q/to_k/to_v without bias, to_out with bias."""
+
+    heads: int
+    head_dim: int
+    out_dim: Optional[int] = None
+    upcast: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        bias: Optional[jax.Array] = None,
+        backend: Optional[str] = None,
+    ) -> jax.Array:
+        context = x if context is None else context
+        inner = self.heads * self.head_dim
+        out_dim = self.out_dim if self.out_dim is not None else x.shape[-1]
+        q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        b, lq = q.shape[0], q.shape[1]
+        lk = k.shape[1]
+        q = q.reshape(b, lq, self.heads, self.head_dim)
+        k = k.reshape(b, lk, self.heads, self.head_dim)
+        v = v.reshape(b, lk, self.heads, self.head_dim)
+        if self.upcast:
+            q, k = q.astype(jnp.float32), k.astype(jnp.float32)
+        out = dot_product_attention(q, k, v, bias=bias, backend=backend)
+        out = out.reshape(b, lq, inner).astype(self.dtype)
+        return Dense(out_dim, dtype=self.dtype, name="to_out")(out)
+
+
+def sinusoidal_positions(max_len: int, dim: int) -> jax.Array:
+    """Motion-module positional encoding table
+    (reference: hallo/models/motion_module.py:426-461)."""
+    position = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    div_term = jnp.exp(
+        jnp.arange(0, dim, 2, dtype=jnp.float32) * (-math.log(10000.0) / dim)
+    )
+    pe = jnp.zeros((max_len, dim), dtype=jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(position * div_term))
+    pe = pe.at[:, 1::2].set(jnp.cos(position * div_term))
+    return pe

@@ -1,0 +1,109 @@
+"""Residual blocks and up/down-sampling for video UNets.
+
+TPU-native equivalent of hallo/models/resnet.py: all "3D" ops are 2D kernels
+with frames folded into the batch axis (identical math to InflatedConv3d,
+reference resnet.py:50-66) — XLA tiles these onto the MXU directly; no
+custom kernel is needed. Layout: (B, F, H, W, C).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from hallo_tpu.models.layers import (
+    Conv,
+    Dense,
+    Dtype,
+    GroupNorm,
+    fold_time,
+    unfold_time,
+)
+
+
+class Upsample(nn.Module):
+    """Nearest 2x spatial upsample + 3x3 conv (reference resnet.py:104-185).
+
+    Nearest-neighbor x2 == repeat along H and W; exact in any dtype, so the
+    reference's bf16->fp32 workaround is unnecessary on TPU.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x, f = fold_time(x)
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        x = Conv(self.features, dtype=self.dtype, name="conv")(x)
+        return unfold_time(x, f)
+
+
+class Downsample(nn.Module):
+    """Stride-2 3x3 conv (reference resnet.py:188-252)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x, f = fold_time(x)
+        x = Conv(self.features, strides=(2, 2), dtype=self.dtype, name="conv")(x)
+        return unfold_time(x, f)
+
+
+class ResnetBlock(nn.Module):
+    """GN -> SiLU -> conv -> (+temb) -> GN -> SiLU -> conv -> +shortcut
+    (reference resnet.py:255-412, time_embedding_norm="default").
+
+    With `inflated_groupnorm=True` the GroupNorm statistics span (F, H, W)
+    (reference InflatedGroupNorm); otherwise they are per-frame.
+    """
+
+    out_channels: int
+    groups: int = 32
+    eps: float = 1e-6
+    inflated_groupnorm: bool = True
+    dtype: Dtype = jnp.float32
+
+    def _norm(self, x: jax.Array, norm: GroupNorm) -> jax.Array:
+        if self.inflated_groupnorm:
+            return norm(x)
+        x2, f = fold_time(x)
+        return unfold_time(norm(x2), f)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, temb: Optional[jax.Array] = None) -> jax.Array:
+        in_channels = x.shape[-1]
+        h = self._norm(x, GroupNorm(self.groups, self.eps, name="norm1"))
+        h = nn.silu(h)
+        h2, f = fold_time(h)
+        h2 = Conv(self.out_channels, dtype=self.dtype, name="conv1")(h2)
+        h = unfold_time(h2, f)
+
+        if temb is not None:
+            t = Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+                nn.silu(temb)
+            )
+            h = h + t[:, None, None, None, :]
+
+        h = self._norm(h, GroupNorm(self.groups, self.eps, name="norm2"))
+        h = nn.silu(h)
+        h2, f = fold_time(h)
+        h2 = Conv(self.out_channels, dtype=self.dtype, name="conv2")(h2)
+        h = unfold_time(h2, f)
+
+        if in_channels != self.out_channels:
+            x2, f = fold_time(x)
+            x2 = Conv(
+                self.out_channels,
+                kernel_size=(1, 1),
+                padding=0,
+                dtype=self.dtype,
+                name="conv_shortcut",
+            )(x2)
+            x = unfold_time(x2, f)
+        return x + h

@@ -1,0 +1,341 @@
+"""Encoder/mid/decoder stages of the denoising video UNet.
+
+Reference: hallo/models/unet_3d_blocks.py. Per layer the order is
+resnet -> spatial attention (ref-feature KV injection) -> audio attention ->
+motion module, with ReferenceNet motion-frame features concatenated on the
+time axis before the motion module and sliced off afterwards
+(unet_3d_blocks.py:436-494).
+
+The reference concatenates motion-frame features in all blocks on its
+gradient-checkpointing (training) path but only in the mid block at eval
+(unet_3d_blocks.py:750-770 vs :697-748); `fuse_motion_frames` reproduces
+whichever behavior the caller selects.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from hallo_tpu.config import MotionModuleConfig
+from hallo_tpu.models.motion import MotionModule
+from hallo_tpu.models.resnet import Downsample, ResnetBlock, Upsample
+from hallo_tpu.models.transformer_spatial import AudioTransformer, SpatialTransformer
+from hallo_tpu.models.layers import Dtype
+
+
+def fuse_motion_frames(
+    motion_module: MotionModule,
+    x: jax.Array,
+    motion_feature: Optional[jax.Array],
+) -> jax.Array:
+    """Concat ReferenceNet motion-frame features on the time axis, run the
+    temporal module, slice them back off (unet_3d_blocks.py:477-490)."""
+    if motion_feature is None:
+        return motion_module(x)
+    b, f, h, w, c = x.shape
+    m = motion_feature.shape[1]
+    mf = motion_feature.reshape(b, m, h, w, c).astype(x.dtype)
+    out = motion_module(jnp.concatenate([mf, x], axis=1))
+    return out[:, m:]
+
+
+class CrossAttnDownBlock(nn.Module):
+    out_channels: int
+    in_channels: int
+    heads: int
+    norm_groups: int
+    resnet_eps: float
+    inflated_groupnorm: bool
+    add_downsample: bool
+    num_layers: int = 2
+    use_audio_module: bool = False
+    hierarchical_audio: bool = False
+    motion_config: Optional[MotionModuleConfig] = None
+    upcast_attention: bool = False
+    fuse_motion: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        temb: jax.Array,
+        context: jax.Array,
+        ref_features: Sequence[Optional[jax.Array]],
+        motion_features: Sequence[Optional[jax.Array]],
+        audio_context: Optional[jax.Array],
+        masks: Optional[Tuple[jax.Array, jax.Array, jax.Array]],
+        motion_scale: Optional[jax.Array],
+        uncond_mask: Optional[jax.Array],
+    ):
+        states = []
+        for i in range(self.num_layers):
+            x = ResnetBlock(
+                self.out_channels,
+                groups=self.norm_groups,
+                eps=self.resnet_eps,
+                inflated_groupnorm=self.inflated_groupnorm,
+                dtype=self.dtype,
+                name=f"resnets_{i}",
+            )(x, temb)
+            x = SpatialTransformer(
+                self.heads,
+                self.out_channels // self.heads,
+                norm_num_groups=self.norm_groups,
+                upcast_attention=self.upcast_attention,
+                dtype=self.dtype,
+                name=f"attentions_{i}",
+            )(x, ref_features[i], context, uncond_mask)
+            if self.use_audio_module and audio_context is not None:
+                # Head-dim quirk: layer 0 derives from the block *input*
+                # channels because the reference reassigns `in_channels`
+                # inside its layer loop (unet_3d_blocks.py:552, 586-589).
+                inner = self.in_channels if i == 0 else self.out_channels
+                inner = (inner // self.heads) * self.heads
+                x = AudioTransformer(
+                    self.heads,
+                    inner,
+                    hierarchical=self.hierarchical_audio,
+                    norm_num_groups=self.norm_groups,
+                    upcast_attention=self.upcast_attention,
+                    dtype=self.dtype,
+                    name=f"audio_modules_{i}",
+                )(
+                    x,
+                    audio_context,
+                    *(masks if masks is not None else (None, None, None)),
+                    motion_scale=motion_scale,
+                )
+            if self.motion_config is not None:
+                mm = MotionModule(
+                    self.motion_config, dtype=self.dtype, name=f"motion_modules_{i}"
+                )
+                x = fuse_motion_frames(
+                    mm, x, motion_features[i] if self.fuse_motion else None
+                )
+            states.append(x)
+        if self.add_downsample:
+            x = Downsample(self.out_channels, dtype=self.dtype, name="downsamplers_0")(x)
+            states.append(x)
+        return x, states
+
+
+class DownBlock(nn.Module):
+    out_channels: int
+    norm_groups: int
+    resnet_eps: float
+    inflated_groupnorm: bool
+    add_downsample: bool
+    num_layers: int = 2
+    motion_config: Optional[MotionModuleConfig] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, temb: jax.Array):
+        states = []
+        for i in range(self.num_layers):
+            x = ResnetBlock(
+                self.out_channels,
+                groups=self.norm_groups,
+                eps=self.resnet_eps,
+                inflated_groupnorm=self.inflated_groupnorm,
+                dtype=self.dtype,
+                name=f"resnets_{i}",
+            )(x, temb)
+            if self.motion_config is not None:
+                x = MotionModule(
+                    self.motion_config, dtype=self.dtype, name=f"motion_modules_{i}"
+                )(x)
+            states.append(x)
+        if self.add_downsample:
+            x = Downsample(self.out_channels, dtype=self.dtype, name="downsamplers_0")(x)
+            states.append(x)
+        return x, states
+
+
+class MidBlock(nn.Module):
+    channels: int
+    in_channels_audio: int
+    heads: int
+    norm_groups: int
+    resnet_eps: float
+    inflated_groupnorm: bool
+    use_audio_module: bool = False
+    hierarchical_audio: bool = False
+    motion_config: Optional[MotionModuleConfig] = None
+    upcast_attention: bool = False
+    fuse_motion: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        temb: jax.Array,
+        context: jax.Array,
+        ref_features: Sequence[Optional[jax.Array]],
+        motion_features: Sequence[Optional[jax.Array]],
+        audio_context: Optional[jax.Array],
+        masks: Optional[Tuple[jax.Array, jax.Array, jax.Array]],
+        motion_scale: Optional[jax.Array],
+        uncond_mask: Optional[jax.Array],
+    ) -> jax.Array:
+        x = ResnetBlock(
+            self.channels,
+            groups=self.norm_groups,
+            eps=self.resnet_eps,
+            inflated_groupnorm=self.inflated_groupnorm,
+            dtype=self.dtype,
+            name="resnets_0",
+        )(x, temb)
+        x = SpatialTransformer(
+            self.heads,
+            self.channels // self.heads,
+            norm_num_groups=self.norm_groups,
+            upcast_attention=self.upcast_attention,
+            dtype=self.dtype,
+            name="attentions_0",
+        )(x, ref_features[0], context, uncond_mask)
+        if self.use_audio_module and audio_context is not None:
+            x = AudioTransformer(
+                self.heads,
+                (self.in_channels_audio // self.heads) * self.heads,
+                hierarchical=self.hierarchical_audio,
+                norm_num_groups=self.norm_groups,
+                upcast_attention=self.upcast_attention,
+                dtype=self.dtype,
+                name="audio_modules_0",
+            )(
+                x,
+                audio_context,
+                *(masks if masks is not None else (None, None, None)),
+                motion_scale=motion_scale,
+            )
+        if self.motion_config is not None:
+            mm = MotionModule(
+                self.motion_config, dtype=self.dtype, name="motion_modules_0"
+            )
+            x = fuse_motion_frames(
+                mm, x, motion_features[0] if self.fuse_motion else None
+            )
+        x = ResnetBlock(
+            self.channels,
+            groups=self.norm_groups,
+            eps=self.resnet_eps,
+            inflated_groupnorm=self.inflated_groupnorm,
+            dtype=self.dtype,
+            name="resnets_1",
+        )(x, temb)
+        return x
+
+
+class CrossAttnUpBlock(nn.Module):
+    out_channels: int
+    in_channels_audio: int
+    heads: int
+    norm_groups: int
+    resnet_eps: float
+    inflated_groupnorm: bool
+    add_upsample: bool
+    num_layers: int = 3
+    use_audio_module: bool = False
+    hierarchical_audio: bool = False
+    motion_config: Optional[MotionModuleConfig] = None
+    upcast_attention: bool = False
+    fuse_motion: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        skips: Sequence[jax.Array],
+        temb: jax.Array,
+        context: jax.Array,
+        ref_features: Sequence[Optional[jax.Array]],
+        motion_features: Sequence[Optional[jax.Array]],
+        audio_context: Optional[jax.Array],
+        masks: Optional[Tuple[jax.Array, jax.Array, jax.Array]],
+        motion_scale: Optional[jax.Array],
+        uncond_mask: Optional[jax.Array],
+    ) -> jax.Array:
+        skips = list(skips)
+        for i in range(self.num_layers):
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = ResnetBlock(
+                self.out_channels,
+                groups=self.norm_groups,
+                eps=self.resnet_eps,
+                inflated_groupnorm=self.inflated_groupnorm,
+                dtype=self.dtype,
+                name=f"resnets_{i}",
+            )(x, temb)
+            x = SpatialTransformer(
+                self.heads,
+                self.out_channels // self.heads,
+                norm_num_groups=self.norm_groups,
+                upcast_attention=self.upcast_attention,
+                dtype=self.dtype,
+                name=f"attentions_{i}",
+            )(x, ref_features[i], context, uncond_mask)
+            if self.use_audio_module and audio_context is not None:
+                x = AudioTransformer(
+                    self.heads,
+                    (self.in_channels_audio // self.heads) * self.heads,
+                    hierarchical=self.hierarchical_audio,
+                    norm_num_groups=self.norm_groups,
+                    upcast_attention=self.upcast_attention,
+                    dtype=self.dtype,
+                    name=f"audio_modules_{i}",
+                )(
+                    x,
+                    audio_context,
+                    *(masks if masks is not None else (None, None, None)),
+                    motion_scale=motion_scale,
+                )
+            if self.motion_config is not None:
+                mm = MotionModule(
+                    self.motion_config, dtype=self.dtype, name=f"motion_modules_{i}"
+                )
+                x = fuse_motion_frames(
+                    mm, x, motion_features[i] if self.fuse_motion else None
+                )
+        if self.add_upsample:
+            x = Upsample(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
+        return x
+
+
+class UpBlock(nn.Module):
+    out_channels: int
+    norm_groups: int
+    resnet_eps: float
+    inflated_groupnorm: bool
+    add_upsample: bool
+    num_layers: int = 3
+    motion_config: Optional[MotionModuleConfig] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, skips: Sequence[jax.Array], temb: jax.Array):
+        skips = list(skips)
+        for i in range(self.num_layers):
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = ResnetBlock(
+                self.out_channels,
+                groups=self.norm_groups,
+                eps=self.resnet_eps,
+                inflated_groupnorm=self.inflated_groupnorm,
+                dtype=self.dtype,
+                name=f"resnets_{i}",
+            )(x, temb)
+            if self.motion_config is not None:
+                x = MotionModule(
+                    self.motion_config, dtype=self.dtype, name=f"motion_modules_{i}"
+                )(x)
+        if self.add_upsample:
+            x = Upsample(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
+        return x

@@ -1,0 +1,271 @@
+"""The denoising video UNet (reference: hallo/models/unet_3d.py:59-839).
+
+TPU-first re-design: layout (B, F, H, W, C) channels-last; the reference's
+monkey-patched feature bank becomes two explicit pytree arguments
+(`ref_features` for the reference frame, `motion_features` for carried
+motion frames), keyed "down_{i}" / "mid" / "up_{i}" with one entry per
+attention layer — keys match `ReferenceNet`'s output so the pipeline simply
+splits the writer's features (mutual_self_attention.py:235-252 semantics).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from hallo_tpu.config import UNetConfig
+from hallo_tpu.models.layers import (
+    Conv,
+    Dtype,
+    GroupNorm,
+    TimestepEmbedding,
+    fold_time,
+    timestep_embedding,
+    unfold_time,
+)
+from hallo_tpu.models.unet_blocks import (
+    CrossAttnDownBlock,
+    CrossAttnUpBlock,
+    DownBlock,
+    MidBlock,
+    UpBlock,
+)
+
+MaskPyramid = Tuple[Tuple[jax.Array, jax.Array, jax.Array], ...]
+
+
+def _hierarchical(cfg: UNetConfig, block_name: str, depth: int) -> bool:
+    """Whether this audio site uses the 3-branch masked attention
+    (reference attention.py:718-761)."""
+    return (
+        block_name in cfg.stack_enable_blocks_name
+        and depth in cfg.stack_enable_blocks_depth
+    )
+
+
+class DenoisingUNet(nn.Module):
+    config: UNetConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jax.Array,
+        timesteps: jax.Array,
+        context: jax.Array,
+        ref_features: Optional[Mapping[str, Sequence[jax.Array]]] = None,
+        motion_features: Optional[Mapping[str, Sequence[jax.Array]]] = None,
+        audio_context: Optional[jax.Array] = None,
+        face_cond: Optional[jax.Array] = None,
+        masks: Optional[MaskPyramid] = None,
+        motion_scale: Optional[jax.Array] = None,
+        uncond_mask: Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> jax.Array:
+        """Predict v / epsilon for a noisy latent video.
+
+        Args:
+          sample: (B, F, H, W, C_in) noisy latents (B includes CFG doubling).
+          timesteps: scalar or (B,) diffusion timestep.
+          context: (B, T_id, D) identity tokens from ImageProj.
+          ref_features: per-site (B, L, C) ReferenceNet features.
+          motion_features: per-site (B, M, L, C) motion-frame features.
+          audio_context: (B, F, T_audio, D_audio) audio tokens.
+          face_cond: (B, F, H, W, C0) FaceLocator output added post conv_in
+            (unet_3d.py:603-605).
+          masks: per-depth (full, face, lip) masks, each (B*F, L_depth).
+          motion_scale: (3,) [pose, face, lip] branch weights.
+          uncond_mask: (B,) 1.0 where the entry is the CFG-uncond half.
+          train: selects the reference's training-path motion-frame fusion
+            (all blocks) instead of the eval path (mid only).
+        """
+        cfg = self.config
+        b, f = sample.shape[0], sample.shape[1]
+        ch = cfg.block_out_channels
+        heads = cfg.num_attention_heads
+
+        def feats(key: str, n: int) -> Sequence[Optional[jax.Array]]:
+            if ref_features is None:
+                return [None] * n
+            return ref_features[key]
+
+        def mfeats(key: str, n: int) -> Sequence[Optional[jax.Array]]:
+            if motion_features is None:
+                return [None] * n
+            return motion_features[key]
+
+        def fuse_at(site: str) -> bool:
+            if motion_features is None or not cfg.use_motion_module:
+                return False
+            mode = "all" if train else cfg.motion_frame_fusion
+            return mode == "all" or site == mode
+
+        # --- time embedding (fp32 sinusoid -> MLP) ---
+        t = jnp.asarray(timesteps)
+        if t.ndim == 0:
+            t = jnp.broadcast_to(t[None], (b,))
+        temb = timestep_embedding(t, ch[0], cfg.flip_sin_to_cos, cfg.freq_shift)
+        temb = TimestepEmbedding(ch[0] * 4, dtype=self.dtype, name="time_embedding")(
+            temb.astype(self.dtype)
+        )
+
+        # --- conv_in + face-locator conditioning ---
+        x2, _ = fold_time(sample.astype(self.dtype))
+        x2 = Conv(ch[0], dtype=self.dtype, name="conv_in")(x2)
+        x = unfold_time(x2, f)
+        if face_cond is not None:
+            x = x + face_cond.astype(x.dtype)
+
+        mm = cfg.motion_module if cfg.use_motion_module else None
+
+        def mask_level(depth: int):
+            if masks is None:
+                return None
+            return masks[depth]
+
+        # --- down ---
+        skips = [x]
+        for i, block_type in enumerate(cfg.down_block_types):
+            res = 2**i
+            in_ch = ch[max(i - 1, 0)] if i > 0 else ch[0]
+            use_mm = (
+                mm is not None
+                and res in cfg.motion_module_resolutions
+                and not cfg.motion_module_decoder_only
+            )
+            is_final = i == len(ch) - 1
+            if block_type.startswith("CrossAttn"):
+                x, states = CrossAttnDownBlock(
+                    out_channels=ch[i],
+                    in_channels=in_ch,
+                    heads=heads,
+                    norm_groups=cfg.norm_num_groups,
+                    resnet_eps=cfg.norm_eps,
+                    inflated_groupnorm=cfg.use_inflated_groupnorm,
+                    add_downsample=not is_final,
+                    num_layers=cfg.layers_per_block,
+                    use_audio_module=cfg.use_audio_module,
+                    hierarchical_audio=_hierarchical(cfg, "down", i),
+                    motion_config=mm if use_mm else None,
+                    upcast_attention=cfg.upcast_attention,
+                    fuse_motion=fuse_at("down"),
+                    dtype=self.dtype,
+                    name=f"down_blocks_{i}",
+                )(
+                    x,
+                    temb,
+                    context,
+                    feats(f"down_{i}", cfg.layers_per_block),
+                    mfeats(f"down_{i}", cfg.layers_per_block),
+                    audio_context,
+                    mask_level(i),
+                    motion_scale,
+                    uncond_mask,
+                )
+            else:
+                x, states = DownBlock(
+                    out_channels=ch[i],
+                    norm_groups=cfg.norm_num_groups,
+                    resnet_eps=cfg.norm_eps,
+                    inflated_groupnorm=cfg.use_inflated_groupnorm,
+                    add_downsample=not is_final,
+                    num_layers=cfg.layers_per_block,
+                    motion_config=mm if use_mm else None,
+                    dtype=self.dtype,
+                    name=f"down_blocks_{i}",
+                )(x, temb)
+            skips.extend(states)
+
+        # --- mid ---
+        x = MidBlock(
+            channels=ch[-1],
+            in_channels_audio=ch[-1],
+            heads=heads,
+            norm_groups=cfg.norm_num_groups,
+            resnet_eps=cfg.norm_eps,
+            inflated_groupnorm=cfg.use_inflated_groupnorm,
+            use_audio_module=cfg.use_audio_module,
+            hierarchical_audio=_hierarchical(cfg, "mid", 3),
+            motion_config=mm if (mm is not None and cfg.motion_module_mid_block) else None,
+            upcast_attention=cfg.upcast_attention,
+            fuse_motion=fuse_at("mid"),
+            dtype=self.dtype,
+            name="mid_block",
+        )(
+            x,
+            temb,
+            context,
+            feats("mid", 1),
+            mfeats("mid", 1),
+            audio_context,
+            mask_level(3),
+            motion_scale,
+            uncond_mask,
+        )
+
+        # --- up ---
+        rev = tuple(reversed(ch))
+        n_layers_up = cfg.layers_per_block + 1
+        for i, block_type in enumerate(cfg.up_block_types):
+            res = 2 ** (3 - i)
+            use_mm = mm is not None and res in cfg.motion_module_resolutions
+            is_final = i == len(ch) - 1
+            block_skips = skips[-n_layers_up:]
+            skips = skips[:-n_layers_up]
+            audio_in_ch = rev[min(i + 1, len(ch) - 1)]
+            if block_type.startswith("CrossAttn"):
+                x = CrossAttnUpBlock(
+                    out_channels=rev[i],
+                    in_channels_audio=audio_in_ch,
+                    heads=heads,
+                    norm_groups=cfg.norm_num_groups,
+                    resnet_eps=cfg.norm_eps,
+                    inflated_groupnorm=cfg.use_inflated_groupnorm,
+                    add_upsample=not is_final,
+                    num_layers=n_layers_up,
+                    use_audio_module=cfg.use_audio_module,
+                    hierarchical_audio=_hierarchical(cfg, "up", 3 - i),
+                    motion_config=mm if use_mm else None,
+                    upcast_attention=cfg.upcast_attention,
+                    fuse_motion=fuse_at("up"),
+                    dtype=self.dtype,
+                    name=f"up_blocks_{i}",
+                )(
+                    x,
+                    block_skips,
+                    temb,
+                    context,
+                    feats(f"up_{i}", n_layers_up),
+                    mfeats(f"up_{i}", n_layers_up),
+                    audio_context,
+                    mask_level(3 - i),
+                    motion_scale,
+                    uncond_mask,
+                )
+            else:
+                x = UpBlock(
+                    out_channels=rev[i],
+                    norm_groups=cfg.norm_num_groups,
+                    resnet_eps=cfg.norm_eps,
+                    inflated_groupnorm=cfg.use_inflated_groupnorm,
+                    add_upsample=not is_final,
+                    num_layers=n_layers_up,
+                    motion_config=mm if use_mm else None,
+                    dtype=self.dtype,
+                    name=f"up_blocks_{i}",
+                )(x, block_skips, temb)
+
+        # --- out ---
+        if cfg.use_inflated_groupnorm:
+            x = GroupNorm(cfg.norm_num_groups, cfg.norm_eps, name="conv_norm_out")(x)
+        else:
+            x2, _ = fold_time(x)
+            x2 = GroupNorm(cfg.norm_num_groups, cfg.norm_eps, name="conv_norm_out")(x2)
+            x = unfold_time(x2, f)
+        x = nn.silu(x)
+        x2, _ = fold_time(x)
+        x2 = Conv(cfg.out_channels, dtype=self.dtype, name="conv_out")(x2)
+        return unfold_time(x2, f)

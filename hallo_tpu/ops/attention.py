@@ -1,0 +1,92 @@
+"""Attention op with pluggable backends.
+
+This replaces the reference's xformers CUDA memory-efficient attention
+(reference: hallo/models/motion_module.py:58-59,507-551 and diffusers
+`Attention`) with:
+
+- "xla": a plain jnp formulation that XLA fuses well on TPU (always correct,
+  used on CPU test meshes and as the numerics oracle), softmax in fp32.
+- "pallas": a fused flash-attention kernel (hallo_tpu/ops/pallas_flash.py)
+  tiled for the MXU, used for the hot spatial/temporal/audio layouts on TPU.
+
+All callers use the layout q: (B, Lq, H, D), k/v: (B, Lk, H, D).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_DEFAULT_BACKEND = os.environ.get("HALLO_TPU_ATTENTION", "auto")
+
+
+def set_default_attention_backend(backend: str) -> None:
+    global _DEFAULT_BACKEND
+    assert backend in ("auto", "xla", "pallas")
+    _DEFAULT_BACKEND = backend
+
+
+def _resolve_backend(backend: Optional[str]) -> str:
+    backend = backend or _DEFAULT_BACKEND
+    if backend != "auto":
+        return backend
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:  # pragma: no cover
+        platform = "cpu"
+    return "pallas" if platform == "tpu" else "xla"
+
+
+def _xla_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array],
+    scale: float,
+) -> jax.Array:
+    # (B, Lq, H, D) x (B, Lk, H, D) -> (B, H, Lq, Lk)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", weights.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.astype(v.dtype)
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    bias: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    backend: Optional[str] = None,
+) -> jax.Array:
+    """Multi-head scaled dot-product attention.
+
+    Args:
+      q: (B, Lq, H, D)
+      k, v: (B, Lk, H, D)
+      bias: optional additive logits bias broadcastable to (B, H, Lq, Lk).
+        Used for the CFG-uncond "no reference KV" masking
+        (reference: hallo/models/mutual_self_attention.py:264-284).
+      scale: defaults to D**-0.5.
+
+    Returns:
+      (B, Lq, H, D) in v.dtype.
+    """
+    if scale is None:
+        scale = float(q.shape[-1]) ** -0.5
+    resolved = _resolve_backend(backend)
+    if resolved == "pallas":
+        from hallo_tpu.ops import pallas_flash
+
+        return pallas_flash.flash_attention(q, k, v, bias=bias, scale=scale)
+    return _xla_attention(q, k, v, bias, scale)

@@ -1,0 +1,141 @@
+"""Numerics tests for core layers against PyTorch (CPU) as an independent
+oracle — the rebuild's replacement for the reference's absent unit tests
+(SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from hallo_tpu.models import layers
+
+
+def test_group_norm_matches_torch():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 8, 8, 32)).astype(np.float32)
+    scale = rng.normal(size=(32,)).astype(np.float32)
+    bias = rng.normal(size=(32,)).astype(np.float32)
+
+    got = layers.group_norm(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias), 4, 1e-5)
+
+    gn = torch.nn.GroupNorm(4, 32, eps=1e-5)
+    with torch.no_grad():
+        gn.weight.copy_(torch.from_numpy(scale))
+        gn.bias.copy_(torch.from_numpy(bias))
+        # NHWC -> NCHW
+        want = gn(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_inflated_group_norm_spans_frames():
+    # Stats over (F, H, W) jointly: reshaping (B,F,H,W,C)->(B,F*H,W,C) must
+    # give the same result (reference InflatedGroupNorm, resnet.py:69-101).
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 4, 8, 8, 32)).astype(np.float32)
+    scale = np.ones((32,), np.float32)
+    bias = np.zeros((32,), np.float32)
+    a = layers.group_norm(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias), 8, 1e-5)
+    b = layers.group_norm(
+        jnp.asarray(x.reshape(2, 32, 8, 32)), jnp.asarray(scale), jnp.asarray(bias), 8, 1e-5
+    ).reshape(2, 4, 8, 8, 32)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_layer_norm_matches_torch():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(3, 7, 16)).astype(np.float32)
+    ln = layers.LayerNorm()
+    params = ln.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    scale = rng.normal(size=(16,)).astype(np.float32)
+    bias = rng.normal(size=(16,)).astype(np.float32)
+    params = {"params": {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)}}
+    got = ln.apply(params, jnp.asarray(x))
+
+    tln = torch.nn.LayerNorm(16, eps=1e-5)
+    with torch.no_grad():
+        tln.weight.copy_(torch.from_numpy(scale))
+        tln.bias.copy_(torch.from_numpy(bias))
+        want = tln(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_feedforward_geglu_matches_torch():
+    rng = np.random.default_rng(3)
+    dim = 8
+    x = rng.normal(size=(2, 5, dim)).astype(np.float32)
+    ff = layers.FeedForward(dim)
+    params = ff.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    got = ff.apply(params, jnp.asarray(x))
+
+    w1 = np.asarray(params["params"]["proj_in"]["Dense_0"]["kernel"])
+    b1 = np.asarray(params["params"]["proj_in"]["Dense_0"]["bias"])
+    w2 = np.asarray(params["params"]["proj_out"]["Dense_0"]["kernel"])
+    b2 = np.asarray(params["params"]["proj_out"]["Dense_0"]["bias"])
+    xt = torch.from_numpy(x)
+    proj = xt @ torch.from_numpy(w1) + torch.from_numpy(b1)
+    value, gate = proj.chunk(2, dim=-1)
+    hidden = value * torch.nn.functional.gelu(gate)
+    want = (hidden @ torch.from_numpy(w2) + torch.from_numpy(b2)).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_attention_matches_torch_sdpa():
+    rng = np.random.default_rng(4)
+    b, lq, lk, h, d = 2, 6, 9, 4, 16
+    q = rng.normal(size=(b, lq, h, d)).astype(np.float32)
+    k = rng.normal(size=(b, lk, h, d)).astype(np.float32)
+    v = rng.normal(size=(b, lk, h, d)).astype(np.float32)
+
+    from hallo_tpu.ops.attention import dot_product_attention
+
+    got = dot_product_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), backend="xla"
+    )
+    want = torch.nn.functional.scaled_dot_product_attention(
+        torch.from_numpy(q).permute(0, 2, 1, 3),
+        torch.from_numpy(k).permute(0, 2, 1, 3),
+        torch.from_numpy(v).permute(0, 2, 1, 3),
+    ).permute(0, 2, 1, 3).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_attention_bias_masks_ref_tokens():
+    # Masking the ref-token region with NEG_INF must equal attention over
+    # only the self tokens (the CFG-uncond trick,
+    # mutual_self_attention.py:264-284).
+    rng = np.random.default_rng(5)
+    b, l, lr, h, d = 2, 5, 3, 2, 8
+    q = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    k_self = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    k_ref = jnp.asarray(rng.normal(size=(b, lr, h, d)).astype(np.float32))
+    v_self = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    v_ref = jnp.asarray(rng.normal(size=(b, lr, h, d)).astype(np.float32))
+
+    from hallo_tpu.models.attention_blocks import NEG_INF
+    from hallo_tpu.ops.attention import dot_product_attention
+
+    k = jnp.concatenate([k_self, k_ref], axis=1)
+    v = jnp.concatenate([v_self, v_ref], axis=1)
+    bias = jnp.concatenate(
+        [jnp.zeros((b, 1, 1, l)), jnp.full((b, 1, 1, lr), NEG_INF)], axis=-1
+    )
+    masked = dot_product_attention(q, k, v, bias=bias, backend="xla")
+    plain = dot_product_attention(q, k_self, v_self, backend="xla")
+    np.testing.assert_allclose(np.asarray(masked), np.asarray(plain), atol=1e-5)
+
+
+def test_timestep_embedding_flip():
+    emb = layers.timestep_embedding(jnp.asarray([0.0, 10.0]), 8)
+    assert emb.shape == (2, 8)
+    # t=0: cos->1, sin->0 with flip_sin_to_cos (cos first).
+    np.testing.assert_allclose(np.asarray(emb[0, :4]), np.ones(4), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(emb[0, 4:]), np.zeros(4), atol=1e-6)
+
+
+def test_sinusoidal_positions_matches_reference_formula():
+    pe = np.asarray(layers.sinusoidal_positions(24, 8))
+    position = np.arange(24)[:, None]
+    div = np.exp(np.arange(0, 8, 2) * (-np.log(10000.0) / 8))
+    np.testing.assert_allclose(pe[:, 0::2], np.sin(position * div), atol=1e-6)
+    np.testing.assert_allclose(pe[:, 1::2], np.cos(position * div), atol=1e-6)
