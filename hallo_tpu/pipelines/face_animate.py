@@ -1,0 +1,268 @@
+"""Audio-driven portrait animation pipeline.
+
+TPU-first re-design of hallo/animate/face_animate.py:58-442 +
+scripts/inference.py:285-343:
+
+- The entire per-clip generation (VAE-encode refs -> ReferenceNet ->
+  40-step CFG denoise loop -> batched VAE decode) is ONE jitted program with
+  a lax.fori_loop; the reference's per-frame VAE decode loop
+  (face_animate.py:238-241) becomes a single batched decode.
+- The sliding window over clips stays a (short) Python loop that re-invokes
+  the compiled program, carrying `n_motion_frames` tail frames
+  (scripts/inference.py:291-339).
+- CFG batch layout is [uncond | cond] like the reference; the uncond half's
+  spatial self-attention masks out reference tokens via an additive bias
+  (mutual_self_attention.py:264-284 equivalence).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hallo_tpu.config import (
+    AudioProjConfig,
+    FaceLocatorConfig,
+    ImageProjConfig,
+    SchedulerConfig,
+    UNetConfig,
+    VAEConfig,
+)
+from hallo_tpu.diffusion import ddim
+from hallo_tpu.models.face_locator import FaceLocator
+from hallo_tpu.models.projections import AudioProj, ImageProj
+from hallo_tpu.models.unet_denoise import DenoisingUNet
+from hallo_tpu.models.unet_ref import ReferenceNet
+from hallo_tpu.models.vae import AutoencoderKL
+
+
+@dataclasses.dataclass
+class HalloModels:
+    """Module definitions + parameters for the five networks
+    (reference `Net`, scripts/inference.py:51-94)."""
+
+    vae: AutoencoderKL
+    reference_net: ReferenceNet
+    denoising_net: DenoisingUNet
+    face_locator: FaceLocator
+    image_proj: ImageProj
+    audio_proj: AudioProj
+    params: Dict[str, Any]  # keys: vae, reference_net, denoising_net, ...
+
+    @classmethod
+    def create(
+        cls,
+        ref_config: UNetConfig,
+        denoise_config: UNetConfig,
+        params: Dict[str, Any],
+        vae_config: VAEConfig = VAEConfig(),
+        face_locator_config: FaceLocatorConfig = FaceLocatorConfig(),
+        image_proj_config: ImageProjConfig = ImageProjConfig(),
+        audio_proj_config: AudioProjConfig = AudioProjConfig(),
+        dtype=jnp.float32,
+    ) -> "HalloModels":
+        return cls(
+            vae=AutoencoderKL(vae_config, dtype),
+            reference_net=ReferenceNet(ref_config, dtype),
+            denoising_net=DenoisingUNet(denoise_config, dtype),
+            face_locator=FaceLocator(face_locator_config, dtype),
+            image_proj=ImageProj(image_proj_config, dtype),
+            audio_proj=AudioProj(audio_proj_config, dtype),
+            params=params,
+        )
+
+
+def window_audio_embeddings(audio_emb: np.ndarray, margin: int = 2) -> np.ndarray:
+    """(T, blocks, C) -> (T, 2*margin+1, blocks, C) edge-padded windows
+    (reference scripts/inference.py:95-116 process_audio_emb)."""
+    t = audio_emb.shape[0]
+    pads = np.concatenate(
+        [np.repeat(audio_emb[:1], margin, axis=0), audio_emb,
+         np.repeat(audio_emb[-1:], margin, axis=0)],
+        axis=0,
+    )
+    idx = np.arange(t)[:, None] + np.arange(2 * margin + 1)[None, :]
+    return pads[idx]
+
+
+class FaceAnimatePipeline:
+    """Callable video generator. Heavy state (params) is captured by the
+    jitted clip program once; repeated calls reuse the compiled executable."""
+
+    def __init__(
+        self,
+        models: HalloModels,
+        scheduler: SchedulerConfig = SchedulerConfig(),
+        num_inference_steps: int = 40,
+        guidance_scale: float = 3.5,
+        clip_length: int = 16,
+        n_motion_frames: int = 2,
+        legacy_context_tiling: bool = True,
+    ):
+        self.models = models
+        self.scheduler = scheduler
+        self.num_inference_steps = num_inference_steps
+        self.guidance_scale = float(guidance_scale)
+        self.clip_length = clip_length
+        self.n_motion_frames = n_motion_frames
+        # The reference tiles identity tokens over the ReferenceNet batch in a
+        # frame-major-mismatched way (mutual_self_attention.py:341-349,
+        # "TODO: repeat这个地方需要斟酌一下"). True reproduces the trained
+        # checkpoint's behavior; False uses the aligned per-frame repeat.
+        self.legacy_context_tiling = legacy_context_tiling
+        self._ddim = ddim.make_state(scheduler, num_inference_steps)
+        self._generate_clip = jax.jit(self._clip_fn)
+
+    # ------------------------------------------------------------------
+    def _clip_fn(
+        self,
+        ref_pixels: jax.Array,      # (B, 1+M, H, W, 3) in [-1, 1]
+        latents: jax.Array,         # (B, F, H/8, W/8, 4) ~ N(0, 1)
+        audio_windows: jax.Array,   # (B, F, 2*margin+1, blocks, C)
+        face_emb: jax.Array,        # (B, 512)
+        face_region: jax.Array,     # (B, H, W, 3) binary face-region mask
+        masks: Tuple[Tuple[jax.Array, jax.Array, jax.Array], ...],  # 4 x (full, face, lip) each (B, L_d)
+        motion_scale: jax.Array,    # (3,)
+    ) -> jax.Array:
+        m = self.models
+        p = m.params
+        b, one_m = ref_pixels.shape[0], ref_pixels.shape[1]
+        f = latents.shape[1]
+        cfg2 = 2 * b
+
+        # --- VAE-encode reference + motion frames (posterior mean) ---
+        flat_ref = ref_pixels.reshape((b * one_m,) + ref_pixels.shape[2:])
+        ref_latents = m.vae.apply(p["vae"], flat_ref, method=m.vae.encode_mean)
+        ref_latents = jnp.tile(ref_latents, (2, 1, 1, 1))  # CFG-major
+
+        # --- identity tokens (uncond = zero embedding) ---
+        tokens_c = m.image_proj.apply(p["image_proj"], face_emb)
+        tokens_u = m.image_proj.apply(p["image_proj"], jnp.zeros_like(face_emb))
+        context = jnp.concatenate([tokens_u, tokens_c], axis=0)  # (2B, T, D)
+        if self.legacy_context_tiling:
+            ref_context = jnp.tile(context, (one_m, 1, 1))
+        else:
+            ref_context = jnp.repeat(context, one_m, axis=0)
+
+        # --- ReferenceNet at t=0 -> feature pytrees ---
+        _, feats = m.reference_net.apply(
+            p["reference_net"], ref_latents, jnp.zeros(()), ref_context
+        )
+        split = jax.tree.map(lambda x: x.reshape(cfg2, one_m, *x.shape[1:]), feats)
+        ref_feats = jax.tree.map(lambda x: x[:, 0], split)
+        motion_feats = jax.tree.map(lambda x: x[:, 1:], split)
+
+        # --- face locator conditioning (uncond half zeroed) ---
+        mask_video = jnp.repeat(face_region[:, None], f, axis=1)  # (B, F, H, W, 3)
+        face_cond = m.face_locator.apply(p["face_locator"], mask_video)
+        face_cond = jnp.concatenate([jnp.zeros_like(face_cond), face_cond], axis=0)
+
+        # --- audio tokens (uncond = zeros, face_animate.py:377-378) ---
+        audio_tokens = m.audio_proj.apply(p["audio_proj"], audio_windows)
+        audio_tokens = jnp.concatenate(
+            [jnp.zeros_like(audio_tokens), audio_tokens], axis=0
+        )
+
+        # --- mask pyramid: (B, L) -> (2B*F, L), CFG-major ---
+        def expand(mask_b_l: jax.Array) -> jax.Array:
+            per_frame = jnp.repeat(mask_b_l[:, None, :], f, axis=1)
+            return jnp.tile(per_frame.reshape(b * f, -1), (2, 1))
+
+        masks_cfg = tuple(tuple(expand(x) for x in level) for level in masks)
+        uncond_mask = jnp.concatenate([jnp.ones((b,)), jnp.zeros((b,))])
+
+        # --- denoise loop ---
+        def body(i, lat):
+            t = self._ddim.timesteps[i]
+            model_in = jnp.tile(lat, (2, 1, 1, 1, 1))
+            out = m.denoising_net.apply(
+                p["denoising_net"],
+                model_in,
+                t,
+                context,
+                ref_feats,
+                motion_feats,
+                audio_tokens,
+                face_cond,
+                masks_cfg,
+                motion_scale,
+                uncond_mask,
+            )
+            if self.guidance_scale > 1.0:
+                un, co = out[:b], out[b:]
+                out = un + self.guidance_scale * (co - un)
+            else:
+                out = out[b:]
+            return ddim.ddim_step(self._ddim, i, out, lat)
+
+        latents = jax.lax.fori_loop(0, self._ddim.num_steps, body, latents)
+
+        # --- batched VAE decode -> [0, 1] pixels ---
+        flat = latents.reshape((b * f,) + latents.shape[2:])
+        frames = m.vae.apply(p["vae"], flat, method=m.vae.decode)
+        frames = jnp.clip(frames.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+        return frames.reshape((b, f) + frames.shape[1:])
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        ref_image: np.ndarray,        # (B, H, W, 3) in [-1, 1]
+        audio_windows: np.ndarray,    # (T, 2*margin+1, blocks, C), T % clip_length == 0
+        face_emb: np.ndarray,         # (B, 512)
+        face_region: np.ndarray,      # (B, H, W, 3)
+        masks: Tuple[Tuple[np.ndarray, np.ndarray, np.ndarray], ...],
+        motion_scale=(1.0, 1.0, 1.0),
+        seed: int = 42,
+        audio_length: Optional[int] = None,
+    ) -> np.ndarray:
+        """Generate the full video by sliding-window clips with motion-frame
+        carry-over. Returns (B, T_out, H, W, 3) float32 in [0, 1]."""
+        b, h, w, _ = ref_image.shape
+        f, m_frames = self.clip_length, self.n_motion_frames
+        t_total = audio_windows.shape[0]
+        assert t_total % f == 0, "pad audio windows to a clip multiple first"
+        num_clips = t_total // f
+
+        key = jax.random.PRNGKey(seed)
+        ref_image = jnp.asarray(ref_image, jnp.float32)
+        motion_scale = jnp.asarray(motion_scale, jnp.float32)
+        masks = tuple(tuple(jnp.asarray(x, jnp.float32) for x in lvl) for lvl in masks)
+        face_emb = jnp.asarray(face_emb, jnp.float32)
+        face_region = jnp.asarray(face_region, jnp.float32)
+
+        # First clip: motion frames are copies of the reference image
+        # (scripts/inference.py:294-301).
+        motion = jnp.repeat(ref_image[:, None], m_frames, axis=1)
+
+        outputs = []
+        for c in range(num_clips):
+            key, sub = jax.random.split(key)
+            latents = jax.random.normal(sub, (b, f, h // 8, w // 8, 4), jnp.float32)
+            clip_audio = jnp.asarray(
+                audio_windows[c * f : (c + 1) * f], jnp.float32
+            )[None]
+            clip_audio = jnp.broadcast_to(clip_audio, (b,) + clip_audio.shape[1:])
+            ref_pixels = jnp.concatenate([ref_image[:, None], motion], axis=1)
+            frames = self._generate_clip(
+                ref_pixels,
+                latents,
+                clip_audio,
+                face_emb,
+                face_region,
+                masks,
+                motion_scale,
+            )
+            outputs.append(np.asarray(frames))
+            # Carry the last frames as next clip's motion frames, mapped back
+            # to [-1, 1] (scripts/inference.py:302-310).
+            motion = jnp.asarray(outputs[-1][:, -m_frames:]) * 2.0 - 1.0
+
+        video = np.concatenate(outputs, axis=1)
+        if audio_length is not None:
+            video = video[:, :audio_length]
+        return video

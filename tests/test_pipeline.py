@@ -1,0 +1,136 @@
+"""End-to-end FaceAnimatePipeline test on a tiny configuration: shapes,
+finiteness, sliding-window motion-frame carry, audio windowing semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hallo_tpu.config import (
+    AudioProjConfig,
+    FaceLocatorConfig,
+    ImageProjConfig,
+    MotionModuleConfig,
+    SchedulerConfig,
+    VAEConfig,
+    denoising_unet_config,
+    reference_unet_config,
+)
+from hallo_tpu.pipelines.face_animate import (
+    FaceAnimatePipeline,
+    HalloModels,
+    window_audio_embeddings,
+)
+
+TINY = dict(
+    block_out_channels=(8, 16, 16, 16),
+    layers_per_block=1,
+    num_attention_heads=2,
+    cross_attention_dim=12,
+    norm_num_groups=4,
+    audio_attention_dim=6,
+    motion_module=MotionModuleConfig(
+        num_attention_heads=2,
+        temporal_position_encoding_max_len=8,
+        norm_num_groups=4,
+    ),
+)
+VAE_TINY = VAEConfig(block_out_channels=(8, 8, 8, 8), layers_per_block=1, norm_num_groups=4)
+FL_TINY = FaceLocatorConfig(conditioning_embedding_channels=8, block_out_channels=(4, 4, 4, 4))
+IP_TINY = ImageProjConfig(cross_attention_dim=12, clip_embeddings_dim=16)
+AP_TINY = AudioProjConfig(seq_len=3, blocks=2, channels=4, intermediate_dim=8,
+                          output_dim=6, context_tokens=3)
+
+
+def _init_models(rng_key, h=32, f=4, m=2):
+    ref_cfg = reference_unet_config(**TINY)
+    den_cfg = denoising_unet_config(**TINY)
+    models = HalloModels.create(
+        ref_cfg, den_cfg, params={}, vae_config=VAE_TINY,
+        face_locator_config=FL_TINY, image_proj_config=IP_TINY,
+        audio_proj_config=AP_TINY,
+    )
+    keys = jax.random.split(rng_key, 6)
+    hl = h // 8
+    params = {}
+    params["vae"] = jax.jit(models.vae.init)(keys[0], jnp.zeros((1, h, h, 3)))
+    ref_b = 1 + m
+    params["reference_net"] = jax.jit(models.reference_net.init)(
+        keys[1], jnp.zeros((ref_b, hl, hl, 4)), jnp.zeros(()), jnp.zeros((ref_b, 4, 12))
+    )
+    params["face_locator"] = jax.jit(models.face_locator.init)(
+        keys[2], jnp.zeros((1, f, h, h, 3))
+    )
+    params["image_proj"] = jax.jit(models.image_proj.init)(keys[3], jnp.zeros((1, 16)))
+    params["audio_proj"] = jax.jit(models.audio_proj.init)(
+        keys[4], jnp.zeros((1, f, 3, 2, 4))
+    )
+    masks = tuple(
+        tuple(jnp.ones((2, (hl // 2**d) ** 2)) for _ in range(3)) for d in range(4)
+    )
+    feat_shapes = jax.eval_shape(
+        lambda p: models.reference_net.apply(
+            p, jnp.zeros((2 * ref_b, hl, hl, 4)), jnp.zeros(()),
+            jnp.zeros((2 * ref_b, 4, 12)),
+        )[1],
+        params["reference_net"],
+    )
+    ref_feats = jax.tree.map(
+        lambda s: jnp.zeros((2,) + s.shape[1:], s.dtype), feat_shapes
+    )
+    motion_feats = jax.tree.map(
+        lambda s: jnp.zeros((2, m) + s.shape[1:], s.dtype), feat_shapes
+    )
+    params["denoising_net"] = jax.jit(models.denoising_net.init)(
+        keys[5],
+        jnp.zeros((2, f, hl, hl, 4)),
+        jnp.zeros(()),
+        jnp.zeros((2, 4, 12)),
+        ref_feats,
+        motion_feats,
+        jnp.zeros((2, f, 3, 6)),
+        jnp.zeros((2, f, hl, hl, 8)),
+        tuple(tuple(jnp.tile(x, (f, 1)) for x in lvl) for lvl in masks),
+        jnp.ones(3),
+        jnp.asarray([1.0, 0.0]),
+    )
+    models.params = params
+    return models
+
+
+def test_window_audio_embeddings_edge_clamp():
+    # Matches the reference's clamped +-2 window (scripts/inference.py:95-116).
+    emb = np.arange(5, dtype=np.float32)[:, None, None]  # (5, 1, 1)
+    win = window_audio_embeddings(emb, margin=2)
+    assert win.shape == (5, 5, 1, 1)
+    np.testing.assert_array_equal(win[0, :, 0, 0], [0, 0, 0, 1, 2])
+    np.testing.assert_array_equal(win[2, :, 0, 0], [0, 1, 2, 3, 4])
+    np.testing.assert_array_equal(win[4, :, 0, 0], [2, 3, 4, 4, 4])
+
+
+@pytest.mark.slow
+def test_pipeline_two_clips():
+    h, f, m = 64, 4, 2
+    models = _init_models(jax.random.PRNGKey(0), h=h, f=f, m=m)
+    pipe = FaceAnimatePipeline(
+        models,
+        SchedulerConfig(),
+        num_inference_steps=2,
+        guidance_scale=3.5,
+        clip_length=f,
+        n_motion_frames=m,
+    )
+    rng = np.random.default_rng(0)
+    ref = rng.uniform(-1, 1, size=(1, h, h, 3)).astype(np.float32)
+    audio = rng.normal(size=(2 * f, 3, 2, 4)).astype(np.float32)  # 2 clips
+    face_emb = rng.normal(size=(1, 16)).astype(np.float32)
+    region = np.ones((1, h, h, 3), np.float32)
+    hl = h // 8
+    masks = tuple(
+        tuple(np.ones((1, (hl // 2**d) ** 2), np.float32) for _ in range(3))
+        for d in range(4)
+    )
+    video = pipe(ref, audio, face_emb, region, masks, audio_length=7)
+    assert video.shape == (1, 7, h, h, 3)
+    assert np.isfinite(video).all()
+    assert video.min() >= 0.0 and video.max() <= 1.0
