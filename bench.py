@@ -1,0 +1,135 @@
+"""Benchmark harness: frames/sec/chip for the full inference clip program.
+
+Runs the production workload (configs/inference/default.yaml:6-18): 512x512,
+40-step DDIM, CFG 3.5, 16-frame clip with 2 motion frames — the entire
+per-clip program (VAE encode refs -> ReferenceNet -> 40x CFG denoise ->
+batched VAE decode) as one jitted XLA program on the available chip, bf16.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no numbers (BASELINE.md); vs_baseline is measured
+against an A100 PyTorch estimate of ~0.8 frames/sec (40-step DDIM CFG at
+512^2 is ~65 UNet3D+ReferenceNet evals per 16-frame clip) until the
+reference baseline is measured for real — see BASELINE.md action item.
+
+Env knobs: HALLO_BENCH_SCALE=tiny|full, HALLO_BENCH_STEPS, HALLO_BENCH_REPEATS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+# Estimated A100 fp16 xformers baseline for the reference (frames/sec at
+# 512^2, 40-step DDIM, 16-frame clips). Marked estimate until measured.
+A100_BASELINE_FPS_ESTIMATE = 0.8
+
+
+def main() -> None:
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from hallo_tpu.config import SchedulerConfig
+    from hallo_tpu.pipelines.face_animate import FaceAnimatePipeline
+    from hallo_tpu.utils.factory import build_models, dummy_clip_inputs
+
+    scale = os.environ.get("HALLO_BENCH_SCALE", "full")
+    steps = int(os.environ.get("HALLO_BENCH_STEPS", "40"))
+    repeats = int(os.environ.get("HALLO_BENCH_REPEATS", "3"))
+    if scale == "tiny":
+        height = width = 64
+        clip = 4
+        dtype = jnp.float32
+    else:
+        height = width = 512
+        clip = 16
+        dtype = jnp.bfloat16
+
+    import sys
+
+    def log(msg):
+        print(f"# bench: {msg}", file=sys.stderr, flush=True)
+
+    log(f"building models scale={scale} steps={steps}")
+    m = 2
+    models = build_models(
+        scale, dtype=dtype, init_key=jax.random.PRNGKey(0),
+        height=height, width=width, clip_length=clip, n_motion_frames=m,
+        param_dtype=(dtype if scale == "full" else None),
+    )
+    log("params initialized")
+    pipe = FaceAnimatePipeline(
+        models,
+        SchedulerConfig(),
+        num_inference_steps=steps,
+        guidance_scale=3.5,
+        clip_length=clip,
+        n_motion_frames=m,
+    )
+    inputs = dummy_clip_inputs(models, height, width, clip, m)
+
+    # Build device args once; time only the compiled clip program.
+    ref_image = jnp.asarray(inputs["ref_image"])
+    motion = jnp.repeat(ref_image[:, None], m, axis=1)
+    ref_pixels = jnp.concatenate([ref_image[:, None], motion], axis=1)
+    latents = jax.random.normal(
+        jax.random.PRNGKey(42), (1, clip, height // 8, width // 8, 4), jnp.float32
+    )
+    clip_audio = jnp.asarray(inputs["audio_windows"])[None]
+    face_emb = jnp.asarray(inputs["face_emb"])
+    face_region = jnp.asarray(inputs["face_region"])
+    masks = tuple(tuple(jnp.asarray(x) for x in lvl) for lvl in inputs["masks"])
+    motion_scale = jnp.ones(3)
+
+    args = (models.params, ref_pixels, latents, clip_audio, face_emb,
+            face_region, masks, motion_scale)
+
+    # NOTE: block_until_ready does not reliably synchronize through the axon
+    # TPU tunnel; materialize the frames to host (np.asarray) instead. This
+    # includes the host transfer — honest for the end-to-end metric.
+    import numpy as np
+
+    log("compiling clip program")
+    t0 = time.perf_counter()
+    np.asarray(pipe._generate_clip(*args))
+    compile_and_first_s = time.perf_counter() - t0
+    log(f"compile+first done in {compile_and_first_s:.1f}s")
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(pipe._generate_clip(*args))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    fps = clip / best
+
+    result = {
+        "metric": f"frames_per_sec_per_chip_{height}x{width}_{steps}step_ddim",
+        "value": round(fps, 4),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / A100_BASELINE_FPS_ESTIMATE, 3),
+        "detail": {
+            "clip_seconds": round(best, 4),
+            "all_clip_seconds": [round(t, 4) for t in times],
+            "compile_plus_first_s": round(compile_and_first_s, 2),
+            "seconds_per_1s_output": round(best / (clip / 25.0), 3),
+            "device": str(jax.devices()[0]),
+            "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
+            "scale": scale,
+            "steps": steps,
+            "baseline_note": "A100 fps is an estimate; reference publishes none",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -14,7 +14,7 @@ from typing import Any, Mapping, Optional, Sequence, Tuple
 
 try:
     from omegaconf import OmegaConf
-except ImportError:  # pragma: no cover - omegaconf is expected in the image
+except ImportError:  # omegaconf is not in this image; fall back to pyyaml
     OmegaConf = None
 
 
@@ -253,10 +253,35 @@ def unet_config_from_yaml_kwargs(kwargs: Mapping[str, Any], **extra: Any) -> UNe
     return UNetConfig(**picked)
 
 
+class DotDict(dict):
+    """Attribute-access dict so YAML configs read like the reference's
+    OmegaConf objects (cfg.data.n_sample_frames)."""
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        self[name] = value
+
+    @classmethod
+    def wrap(cls, value: Any) -> Any:
+        if isinstance(value, Mapping):
+            return cls({k: cls.wrap(v) for k, v in value.items()})
+        if isinstance(value, list):
+            return [cls.wrap(v) for v in value]
+        return value
+
+
 def load_yaml(path: str) -> Any:
-    if OmegaConf is None:
-        raise RuntimeError("omegaconf is required to load YAML configs")
-    return OmegaConf.load(path)
+    if OmegaConf is not None:
+        return OmegaConf.load(path)
+    import yaml
+
+    with open(path) as f:
+        return DotDict.wrap(yaml.safe_load(f))
 
 
 def filter_non_none(mapping: Mapping[str, Any]) -> dict:
@@ -265,7 +290,28 @@ def filter_non_none(mapping: Mapping[str, Any]) -> dict:
     return {k: v for k, v in mapping.items() if v is not None}
 
 
+def _deep_merge(base: Any, override: Mapping[str, Any]) -> Any:
+    out = DotDict(dict(base))
+    for key, value in override.items():
+        if (
+            key in out
+            and isinstance(out[key], Mapping)
+            and isinstance(value, Mapping)
+        ):
+            out[key] = _deep_merge(out[key], value)
+        else:
+            out[key] = DotDict.wrap(value)
+    return out
+
+
 def merge_cli_overrides(config: Any, args: Mapping[str, Any]) -> Any:
-    if OmegaConf is None:
-        raise RuntimeError("omegaconf is required to merge configs")
-    return OmegaConf.merge(config, filter_non_none(dict(args)))
+    overrides = filter_non_none(dict(args))
+    if OmegaConf is not None:
+        return OmegaConf.merge(config, overrides)
+    return _deep_merge(config, overrides)
+
+
+def to_container(config: Any) -> dict:
+    if OmegaConf is not None and not isinstance(config, (dict, DotDict)):
+        return OmegaConf.to_container(config)
+    return dict(config)

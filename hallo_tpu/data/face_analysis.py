@@ -1,0 +1,176 @@
+"""Pluggable face analysis: detection, landmarks, identity embedding.
+
+The reference depends on InsightFace (SCRFD detector + ArcFace glintr100
+embedding, image_processor.py:100-138) and mediapipe FaceLandmarker
+(util.py:351-404) — both ONNX/C++ runtimes that are host-side, one call per
+clip. This module exposes one interface with backends:
+
+- "insightface"/"mediapipe": used when those packages are installed
+  (production parity).
+- "opencv": a dependency-free fallback (Haar cascade detection, heuristic
+  lip box, zero embedding) so the pipeline runs end-to-end in minimal
+  environments. NOT identity-preserving — a warning is emitted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class FaceResult:
+    bbox: Tuple[float, float, float, float]  # (min_x, min_y, max_x, max_y)
+    embedding: np.ndarray  # (512,)
+    landmarks: Optional[np.ndarray] = None  # (478, 2) mediapipe-style or None
+
+
+class FaceAnalyzer:
+    """Facade that picks the best available backend."""
+
+    def __init__(self, model_path: Optional[str] = None, backend: str = "auto"):
+        self.backend = backend
+        self._insight = None
+        self._mediapipe = None
+        self._cascade = None
+        if backend in ("auto", "insightface"):
+            try:
+                from insightface.app import FaceAnalysis  # type: ignore
+
+                self._insight = FaceAnalysis(
+                    name="",
+                    root=model_path or "./pretrained_models/face_analysis",
+                    providers=["CPUExecutionProvider"],
+                )
+                self._insight.prepare(ctx_id=0, det_size=(640, 640))
+                self.backend = "insightface"
+            except Exception:
+                self._insight = None
+        if self._insight is None:
+            if backend == "insightface":
+                raise RuntimeError("insightface backend requested but unavailable")
+            self.backend = "opencv"
+            logger.warning(
+                "insightface unavailable; falling back to OpenCV Haar detection "
+                "with a ZERO identity embedding (matches the reference's "
+                "no-face fallback, image_processor.py:124-135). Identity "
+                "conditioning will be uninformative."
+            )
+            try:
+                self._cascade = cv2.CascadeClassifier(
+                    cv2.data.haarcascades + "haarcascade_frontalface_default.xml"
+                )
+            except AttributeError:  # stripped cv2 builds lack objdetect
+                self._cascade = None
+                self.backend = "center-crop"
+                logger.warning(
+                    "cv2 has no CascadeClassifier; assuming a centered "
+                    "portrait (center 60%% box as the face region)."
+                )
+
+    # ------------------------------------------------------------------
+    def detect(self, image_rgb: np.ndarray) -> FaceResult:
+        """Detect the largest face; full-image fallback with zero embedding
+        mirrors the reference (image_processor.py:124-135)."""
+        h, w = image_rgb.shape[:2]
+        if self._insight is not None:
+            faces = self._insight.get(cv2.cvtColor(image_rgb, cv2.COLOR_RGB2BGR))
+            if faces:
+                faces = sorted(
+                    faces,
+                    key=lambda f: (f["bbox"][2] - f["bbox"][0])
+                    * (f["bbox"][3] - f["bbox"][1]),
+                    reverse=True,
+                )
+                f = faces[0]
+                return FaceResult(tuple(f["bbox"]), np.asarray(f["embedding"]))
+            return FaceResult((0, 0, w, h), np.zeros(512, np.float32))
+
+        if self._cascade is not None:
+            gray = cv2.cvtColor(image_rgb, cv2.COLOR_RGB2GRAY)
+            rects = self._cascade.detectMultiScale(gray, 1.1, 5)
+            if len(rects) > 0:
+                x, y, bw, bh = max(rects, key=lambda r: r[2] * r[3])
+                return FaceResult(
+                    (float(x), float(y), float(x + bw), float(y + bh)),
+                    np.zeros(512, np.float32),
+                )
+            return FaceResult((0, 0, w, h), np.zeros(512, np.float32))
+        # center-crop heuristic (no detector available at all)
+        return FaceResult(
+            (0.2 * w, 0.15 * h, 0.8 * w, 0.85 * h), np.zeros(512, np.float32)
+        )
+
+    # ------------------------------------------------------------------
+    def face_and_lip_masks(
+        self, image_rgb: np.ndarray, face_expand_ratio: float = 1.2
+    ) -> Tuple[np.ndarray, np.ndarray, FaceResult]:
+        """(face_mask, lip_mask, face) uint8 masks at image resolution.
+
+        With mediapipe installed, masks come from the 478-point landmarks
+        (util.py:407-527); otherwise lip region is estimated as the lower
+        middle of the face box.
+        """
+        from hallo_tpu.utils import masks as mk
+
+        h, w = image_rgb.shape[:2]
+        face = self.detect(image_rgb)
+        landmarks = self._landmarks(image_rgb)
+        if landmarks is not None:
+            face.landmarks = landmarks
+            face_mask = mk.face_mask_from_landmarks(landmarks, h, w, face_expand_ratio)
+            lip_mask = mk.lip_mask_from_landmarks(landmarks, h, w, 2.0)
+            return face_mask, lip_mask, face
+
+        min_x, min_y, max_x, max_y = face.bbox
+        face_mask = mk.bbox_mask((min_x, min_y, max_x, max_y), h, w, face_expand_ratio)
+        # heuristic lip box: central lower third of the face box
+        fw, fh = max_x - min_x, max_y - min_y
+        lip_box = (
+            min_x + 0.3 * fw,
+            min_y + 0.65 * fh,
+            max_x - 0.3 * fw,
+            min_y + 0.85 * fh,
+        )
+        lip_mask = mk.bbox_mask(lip_box, h, w, 2.0)
+        return face_mask, lip_mask, face
+
+    def _landmarks(self, image_rgb: np.ndarray) -> Optional[np.ndarray]:
+        if self._mediapipe is None:
+            try:
+                import mediapipe  # type: ignore  # noqa: F401
+            except Exception:
+                return None
+        # mediapipe landmark extraction (only reached when installed)
+        try:
+            import mediapipe as mp
+            from mediapipe.tasks import python as mp_python
+            from mediapipe.tasks.python import vision
+
+            if self._mediapipe is None:
+                base = mp_python.BaseOptions(
+                    model_asset_path="pretrained_models/face_analysis/models/"
+                    "face_landmarker_v2_with_blendshapes.task"
+                )
+                self._mediapipe = vision.FaceLandmarker.create_from_options(
+                    vision.FaceLandmarkerOptions(
+                        base_options=base, output_face_blendshapes=True,
+                        output_facial_transformation_matrixes=True, num_faces=1,
+                    )
+                )
+            h, w = image_rgb.shape[:2]
+            mp_img = mp.Image(image_format=mp.ImageFormat.SRGB, data=image_rgb)
+            result = self._mediapipe.detect(mp_img)
+            if len(result.face_landmarks) != 1:
+                return None
+            return np.asarray(
+                [[p.x * w, p.y * h] for p in result.face_landmarks[0]], np.float32
+            )
+        except Exception:
+            return None

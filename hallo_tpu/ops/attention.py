@@ -86,7 +86,19 @@ def dot_product_attention(
         scale = float(q.shape[-1]) ** -0.5
     resolved = _resolve_backend(backend)
     if resolved == "pallas":
-        from hallo_tpu.ops import pallas_flash
+        # Measured on v5e: the fused kernel wins for large spatial attention
+        # (and is the only option at 4096x8192, where materializing scores
+        # OOMs), while tiny-KV (audio, 32 tokens) and tiny-seq (temporal,
+        # 16-18 frames over a huge batch) layouts are launch-overhead bound
+        # and faster through plain XLA fusion.
+        lq, lk = q.shape[1], k.shape[1]
+        if lq >= 256 and lk >= 256:
+            from hallo_tpu.ops import pallas_flash
 
-        return pallas_flash.flash_attention(q, k, v, bias=bias, scale=scale)
+            if bias is not None and bias.ndim == 4 and (
+                bias.shape[1] != 1 or bias.shape[2] != 1
+            ):
+                return _xla_attention(q, k, v, bias, scale)  # general bias
+            flat_bias = None if bias is None else bias.reshape(bias.shape[0], -1)
+            return pallas_flash.flash_attention(q, k, v, bias=flat_bias, scale=scale)
     return _xla_attention(q, k, v, bias, scale)

@@ -1,0 +1,211 @@
+"""Fused flash-attention kernel for TPU (Pallas -> Mosaic).
+
+Replaces the reference's xformers CUDA memory-efficient attention
+(motion_module.py:58-59, stage configs enable_xformers...) for the three hot
+layouts of this model family:
+
+- spatial self-attention with reference-KV concat (Lq up to 4096, Lk = 2*Lq)
+- hierarchical audio cross-attention (Lk = 32 tokens)
+- temporal attention (tiny Lq = frames, huge batch)
+
+Design (see /opt/skills/guides/boom_attention_tricks.md):
+- grid (B, H, Lq/block_q, Lk/block_k); online softmax with fp32 m/l/acc
+  scratch persisting across KV tiles
+- additive bias of shape (B, Lk) — exactly what the CFG-uncond "mask the ref
+  tokens" trick needs (mutual_self_attention.py:264-284); padding masking is
+  folded into the same bias
+- mask value -0.7*f32_max (not -inf) to avoid exp(-inf - -inf) NaNs
+- backward: custom_vjp recomputing attention with the XLA formulation (exact
+  same math; trades memory for a second pass) so the kernel is usable in
+  training without a handwritten backward yet.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+LANES = 128
+
+
+def _attention_kernel(
+    q_ref, k_ref, v_ref, bias_ref, o_ref, m_scratch, l_scratch, acc_scratch,
+    *, scale: float, num_kv_tiles: int
+):
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0, 0]  # (bq, D)
+    k = k_ref[0, 0]  # (bk, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale
+    s = s + bias_ref[0].astype(jnp.float32)  # (bq, bk) + (1, bk)
+
+    m_prev = m_scratch[...]  # (bq, LANES)
+    l_prev = l_scratch[...]
+    m_curr = jnp.max(s, axis=1, keepdims=True)  # (bq, 1)
+    m_next = jnp.maximum(m_prev, m_curr)  # lane-broadcasted
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next[:, :1])
+    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    m_scratch[...] = m_next
+    l_scratch[...] = l_next
+
+    v = v_ref[0, 0]  # (bk, D)
+    acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kv_idx == num_kv_tiles - 1)
+    def _store():
+        l = l_scratch[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+
+
+def _pad_to(x: jax.Array, axis: int, multiple: int, value=0.0) -> jax.Array:
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def _flash_forward(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array],
+    scale: float,
+    block_q: int,
+    block_k: int,
+) -> jax.Array:
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+
+    # (B, L, H, D) -> (B, H, L, D)
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    block_q = min(block_q, max(LANES, lq))
+    block_k = min(block_k, max(LANES, lk))
+    qt = _pad_to(qt, 2, block_q)
+    kt = _pad_to(kt, 2, block_k)
+    vt = _pad_to(vt, 2, block_k)
+    lq_p, lk_p = qt.shape[2], kt.shape[2]
+
+    # Fold user bias + KV padding mask into one (B, Lk_p) f32 bias.
+    full_bias = jnp.zeros((b, lk_p), jnp.float32)
+    if lk_p != lk:
+        pad_mask = jnp.arange(lk_p) >= lk
+        full_bias = jnp.where(pad_mask[None, :], MASK_VALUE, 0.0)
+        full_bias = jnp.broadcast_to(full_bias, (b, lk_p))
+    if bias is not None:
+        user = bias.reshape(b, -1).astype(jnp.float32)
+        full_bias = full_bias.at[:, :lk].add(user) if lk_p != lk else full_bias + user
+
+    full_bias = full_bias[:, None, :]  # (B, 1, Lk_p): Mosaic-friendly block shape
+    num_q_tiles = lq_p // block_q
+    num_kv_tiles = lk_p // block_k
+    grid = (b, h, num_q_tiles, num_kv_tiles)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _attention_kernel, scale=scale, num_kv_tiles=num_kv_tiles
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, lq_p, d), v.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)
+            ),
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(qt, kt, vt, full_bias)
+
+    return out[:, :, :lq, :].transpose(0, 2, 1, 3)
+
+
+def _xla_reference(q, k, v, bias, scale):
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.reshape(bias.shape[0], 1, 1, -1).astype(jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(v.dtype), v)
+    return out.astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash(q, k, v, bias, scale, block_q, block_k):
+    return _flash_forward(q, k, v, bias, scale, block_q, block_k)
+
+
+def _flash_fwd(q, k, v, bias, scale, block_q, block_k):
+    return _flash_forward(q, k, v, bias, scale, block_q, block_k), (q, k, v, bias)
+
+
+def _flash_bwd(scale, block_q, block_k, residuals, g):
+    # Recompute-based backward through the XLA formulation (identical math).
+    q, k, v, bias = residuals
+    _, vjp = jax.vjp(lambda q, k, v, b: _xla_reference(q, k, v, b, scale), q, k, v, bias)
+    dq, dk, dv, dbias = vjp(g)
+    return dq, dk, dv, (None if bias is None else dbias)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    bias: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    block_k: int = 512,
+) -> jax.Array:
+    """Fused attention. q: (B, Lq, H, D); k/v: (B, Lk, H, D);
+    bias broadcastable to (B, Lk) (per-key additive logits bias)."""
+    if scale is None:
+        scale = float(q.shape[-1]) ** -0.5
+    if bias is not None:
+        bias = jnp.broadcast_to(
+            bias.reshape(bias.shape[0], -1)[:, -k.shape[1]:], (q.shape[0], k.shape[1])
+        )
+    return _flash(q, k, v, bias, float(scale), int(block_q), int(block_k))

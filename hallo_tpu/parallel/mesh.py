@@ -1,0 +1,69 @@
+"""Mesh + sharding utilities.
+
+Design (SURVEY.md §2.4): the reference's only strategy is data parallelism
+with ZeRO-2 optimizer-state sharding across 8 GPUs. TPU-native equivalent:
+
+- a ("data",) or ("data", "model") Mesh over ICI
+- batch arrays sharded on "data" (NamedSharding); params replicated
+- optimizer state sharded ZeRO-style along its largest divisible axis
+  (zero_shard_tree) so Adam moments don't replicate
+- gradient reduction is inserted by XLA from the shardings (no explicit
+  collectives — the pjit/GSPMD recipe)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create a ("data", "model") mesh. With n_model=1 this is pure DP."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
+    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over "data"."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _zero_spec(shape: Sequence[int], n_shards: int) -> P:
+    """ZeRO-style: shard the largest axis divisible by n_shards, else
+    replicate (small params aren't worth scattering)."""
+    if not shape:
+        return P()
+    order = sorted(range(len(shape)), key=lambda i: -shape[i])
+    for axis in order:
+        if shape[axis] % n_shards == 0 and shape[axis] >= n_shards:
+            spec = [None] * len(shape)
+            spec[axis] = "data"
+            return P(*spec)
+    return P()
+
+
+def zero_shard_tree(tree: Any, mesh: Mesh) -> Any:
+    """NamedSharding pytree for optimizer state (ZeRO-2 equivalent,
+    reference accelerate_config.yaml:9 zero_stage: 2)."""
+    n = mesh.shape["data"]
+
+    def spec(leaf):
+        shape = getattr(leaf, "shape", ())
+        return NamedSharding(mesh, _zero_spec(shape, n))
+
+    return jax.tree.map(spec, tree)

@@ -54,6 +54,101 @@ class HalloModels:
     audio_proj: AudioProj
     params: Dict[str, Any]  # keys: vae, reference_net, denoising_net, ...
 
+    def init_params(
+        self,
+        key: jax.Array,
+        height: int = 512,
+        width: int = 512,
+        clip_length: int = 16,
+        n_motion_frames: int = 2,
+        param_dtype=None,
+    ) -> Dict[str, Any]:
+        """Random-initialize all six parameter trees with consistent shapes
+        (converted pretrained weights replace these in production).
+        param_dtype (e.g. bf16 for inference benches) casts each module's
+        params right after its init so fp32+bf16 copies never coexist for
+        more than one module (16 GB HBM budget)."""
+        ip = self.image_proj.config
+        ap = self.audio_proj.config
+        den = self.denoising_net.config
+        hl, wl = height // 8, width // 8
+        f, m = clip_length, n_motion_frames
+        keys = jax.random.split(key, 6)
+        params: Dict[str, Any] = {}
+
+        def _cast(tree):
+            if param_dtype is None:
+                return tree
+            return jax.tree.map(
+                lambda x: x.astype(param_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                tree,
+            )
+
+        params["vae"] = _cast(
+            jax.jit(self.vae.init)(keys[0], jnp.zeros((1, height, width, 3)))
+        )
+        ref_b = 1 + m
+        ctx_dim = den.cross_attention_dim
+        params["reference_net"] = _cast(
+            jax.jit(self.reference_net.init)(
+                keys[1],
+                jnp.zeros((ref_b, hl, wl, 4)),
+                jnp.zeros(()),
+                jnp.zeros((ref_b, ip.clip_extra_context_tokens, ctx_dim)),
+            )
+        )
+        params["face_locator"] = _cast(
+            jax.jit(self.face_locator.init)(
+                keys[2], jnp.zeros((1, f, height, width, 3))
+            )
+        )
+        params["image_proj"] = _cast(
+            jax.jit(self.image_proj.init)(keys[3], jnp.zeros((1, ip.clip_embeddings_dim)))
+        )
+        params["audio_proj"] = _cast(
+            jax.jit(self.audio_proj.init)(
+                keys[4], jnp.zeros((1, f, ap.seq_len, ap.blocks, ap.channels))
+            )
+        )
+        feat_shapes = jax.eval_shape(
+            lambda p: self.reference_net.apply(
+                p,
+                jnp.zeros((2 * ref_b, hl, wl, 4)),
+                jnp.zeros(()),
+                jnp.zeros((2 * ref_b, ip.clip_extra_context_tokens, ctx_dim)),
+            )[1],
+            params["reference_net"],
+        )
+        ref_feats = jax.tree.map(
+            lambda s: jnp.zeros((2,) + s.shape[1:], s.dtype), feat_shapes
+        )
+        motion_feats = jax.tree.map(
+            lambda s: jnp.zeros((2, m) + s.shape[1:], s.dtype), feat_shapes
+        )
+        masks = tuple(
+            tuple(jnp.ones((2 * f, (hl // 2**d) * (wl // 2**d))) for _ in range(3))
+            for d in range(4)
+        )
+        params["denoising_net"] = _cast(
+            jax.jit(self.denoising_net.init)(
+                keys[5],
+                jnp.zeros((2, f, hl, wl, 4)),
+                jnp.zeros(()),
+                jnp.zeros((2, ip.clip_extra_context_tokens, ctx_dim)),
+                ref_feats,
+                motion_feats,
+                jnp.zeros((2, f, ap.context_tokens, den.audio_attention_dim)),
+                jnp.zeros((2, f, hl, wl, den.block_out_channels[0])),
+                masks,
+                jnp.ones(3),
+                jnp.asarray([1.0, 0.0]),
+            )
+        )
+        self.params = params
+        return params
+
     @classmethod
     def create(
         cls,
@@ -121,6 +216,9 @@ class FaceAnimatePipeline:
     # ------------------------------------------------------------------
     def _clip_fn(
         self,
+        params: Dict[str, Any],     # the five parameter trees (jit argument,
+                                    # NOT a closure — closures bake params
+                                    # into the lowered program as constants)
         ref_pixels: jax.Array,      # (B, 1+M, H, W, 3) in [-1, 1]
         latents: jax.Array,         # (B, F, H/8, W/8, 4) ~ N(0, 1)
         audio_windows: jax.Array,   # (B, F, 2*margin+1, blocks, C)
@@ -130,7 +228,7 @@ class FaceAnimatePipeline:
         motion_scale: jax.Array,    # (3,)
     ) -> jax.Array:
         m = self.models
-        p = m.params
+        p = params
         b, one_m = ref_pixels.shape[0], ref_pixels.shape[1]
         f = latents.shape[1]
         cfg2 = 2 * b
@@ -249,6 +347,7 @@ class FaceAnimatePipeline:
             clip_audio = jnp.broadcast_to(clip_audio, (b,) + clip_audio.shape[1:])
             ref_pixels = jnp.concatenate([ref_image[:, None], motion], axis=1)
             frames = self._generate_clip(
+                self.models.params,
                 ref_pixels,
                 latents,
                 clip_audio,

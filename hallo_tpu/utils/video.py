@@ -1,0 +1,120 @@
+"""Video / audio I/O on cv2 (FFMPEG build) with graceful gating.
+
+Replaces the reference's PyAV/moviepy/ffmpeg-subprocess stack
+(util.py:154-321, 854-920). cv2's FFMPEG backend handles decode/encode;
+audio muxing requires an ffmpeg binary and is skipped (with a warning and a
+side-channel .wav) when absent.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+import subprocess
+from typing import List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def read_frames(path: str) -> List[np.ndarray]:
+    """Decode all frames as RGB uint8 (util.py:244-279)."""
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise FileNotFoundError(path)
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+    cap.release()
+    return frames
+
+
+def get_fps(path: str) -> float:
+    cap = cv2.VideoCapture(path)
+    fps = cap.get(cv2.CAP_PROP_FPS)
+    cap.release()
+    return float(fps)
+
+
+def write_video(
+    frames: np.ndarray, path: str, fps: int = 25, audio_path: Optional[str] = None
+) -> str:
+    """frames: (T, H, W, 3) float in [0,1] or uint8. Writes H.264/mp4v video;
+    muxes audio when an ffmpeg binary exists (util.py:297-321 tensor_to_video
+    equivalent)."""
+    frames = np.asarray(frames)
+    if frames.dtype != np.uint8:
+        frames = (np.clip(frames, 0, 1) * 255).astype(np.uint8)
+    t, h, w = frames.shape[:3]
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+
+    tmp = path if audio_path is None else path + ".video.mp4"
+    writer = cv2.VideoWriter(
+        tmp, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+    )
+    if not writer.isOpened():
+        raise RuntimeError(f"cv2.VideoWriter failed for {tmp}")
+    for frame in frames:
+        writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+    writer.release()
+
+    if audio_path is not None:
+        ffmpeg = shutil.which("ffmpeg")
+        if ffmpeg is None:
+            logger.warning(
+                "no ffmpeg binary: cannot mux audio; leaving %s (video) and "
+                "the driving audio separate", tmp,
+            )
+            if tmp != path:
+                shutil.move(tmp, path)
+        else:
+            subprocess.run(
+                [ffmpeg, "-y", "-v", "error", "-i", tmp, "-i", audio_path,
+                 "-c:v", "copy", "-c:a", "aac", "-shortest", path],
+                check=True,
+            )
+            os.remove(tmp)
+    return path
+
+
+def extract_audio(video_path: str, out_wav: str, sample_rate: int = 16000) -> str:
+    """ffmpeg-gated audio extraction (util.py:854-888)."""
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        raise RuntimeError("audio extraction requires an ffmpeg binary")
+    subprocess.run(
+        [ffmpeg, "-y", "-v", "error", "-i", video_path, "-vn",
+         "-ar", str(sample_rate), "-ac", "1", out_wav],
+        check=True,
+    )
+    return out_wav
+
+
+def video_to_images(video_path: str, out_dir: str, fps: int = 25) -> List[str]:
+    """Decode at a fixed fps to PNGs (util.py:889-920). Uses cv2 timestamps
+    to resample to the target fps without ffmpeg."""
+    os.makedirs(out_dir, exist_ok=True)
+    cap = cv2.VideoCapture(video_path)
+    src_fps = cap.get(cv2.CAP_PROP_FPS) or fps
+    step = src_fps / fps
+    paths = []
+    idx, next_pick, out_idx = 0, 0.0, 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if idx >= next_pick:
+            out = os.path.join(out_dir, f"{out_idx:04d}.png")
+            cv2.imwrite(out, frame)
+            paths.append(out)
+            out_idx += 1
+            next_pick += step
+        idx += 1
+    cap.release()
+    return paths

@@ -1,0 +1,194 @@
+"""CLI inference: one portrait image + one WAV -> talking-head video.
+
+The public product surface, argument-compatible with the reference
+(scripts/inference.py:351-376):
+
+    python scripts/inference.py --source_image X.jpg --driving_audio Y.wav \
+        [--output out.mp4 --pose_weight 1.0 --face_weight 1.0 \
+         --lip_weight 1.0 --face_expand_ratio 1.2 -c config.yaml]
+
+Call stack (TPU-native version of SURVEY.md §3.1): host preprocessing
+(face analysis, masks, audio embedding) -> converted weights -> ONE compiled
+XLA program per clip (VAE encode refs -> ReferenceNet -> 40-step CFG denoise
+-> batched VAE decode) -> sliding-window loop -> video writer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s: %(message)s")
+logger = logging.getLogger("hallo_tpu.inference")
+
+
+def inference_process(args: argparse.Namespace) -> str:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hallo_tpu import config as cfglib
+    from hallo_tpu.config import (
+        SchedulerConfig,
+        unet_config_from_yaml_kwargs,
+    )
+    from hallo_tpu.convert.load_pretrained import (
+        load_pretrained_params,
+        load_wav2vec_params,
+    )
+    from hallo_tpu.data.audio_processor import AudioProcessor
+    from hallo_tpu.data.image_processor import ImageProcessor
+    from hallo_tpu.models.wav2vec import Wav2Vec2
+    from hallo_tpu.pipelines.face_animate import (
+        FaceAnimatePipeline,
+        HalloModels,
+        window_audio_embeddings,
+    )
+    from hallo_tpu.utils.factory import build_models
+    from hallo_tpu.utils.video import write_video
+
+    config = cfglib.load_yaml(args.config)
+    cli = {
+        "source_image": args.source_image,
+        "driving_audio": args.driving_audio,
+        "pose_weight": args.pose_weight,
+        "face_weight": args.face_weight,
+        "lip_weight": args.lip_weight,
+        "face_expand_ratio": args.face_expand_ratio,
+        "audio_ckpt_dir": args.audio_ckpt_dir,
+    }
+    config = cfglib.merge_cli_overrides(config, cli)
+    output = args.output or ".cache/output.mp4"
+
+    width = config.data.source_image.width
+    height = config.data.source_image.height
+    clip_length = config.data.n_sample_frames
+    n_motion = config.data.n_motion_frames
+    dtype = jnp.bfloat16 if str(config.weight_dtype) in ("bf16", "fp16") else jnp.float32
+
+    # ------------------------------------------------------------- image
+    img_proc = ImageProcessor(
+        (width, height), config.face_analysis.model_path
+    )
+    processed = img_proc.preprocess(
+        config.source_image, float(config.face_expand_ratio)
+    )
+
+    # ------------------------------------------------------------- models
+    unet_kwargs = cfglib.to_container(config.unet_additional_kwargs)
+    den_cfg = unet_config_from_yaml_kwargs(unet_kwargs)
+    ref_cfg = unet_config_from_yaml_kwargs(
+        unet_kwargs,
+        use_motion_module=False,
+        use_audio_module=False,
+        use_inflated_groupnorm=False,
+    )
+    models = HalloModels.create(ref_cfg, den_cfg, params={}, dtype=dtype)
+    models.init_params(
+        jax.random.PRNGKey(0),
+        height=height,
+        width=width,
+        clip_length=clip_length,
+        n_motion_frames=n_motion,
+        param_dtype=dtype,
+    )
+    models.params = load_pretrained_params(
+        models.params,
+        base_model_path=str(config.base_model_path),
+        motion_module_path=str(config.motion_module_path),
+        vae_model_path=str(config.vae.model_path),
+        net_pth_path=os.path.join(str(config.audio_ckpt_dir), "net.pth"),
+    )
+
+    # ------------------------------------------------------------- audio
+    from hallo_tpu.config import Wav2Vec2Config
+
+    w2v_model = Wav2Vec2(Wav2Vec2Config())
+    w2v_init = jax.jit(lambda k: w2v_model.init(k, jnp.zeros((1, 16000)), seq_len=25))(
+        jax.random.PRNGKey(1)
+    )
+    try:
+        w2v_params = load_wav2vec_params(str(config.wav2vec.model_path), w2v_init)
+    except FileNotFoundError:
+        logger.warning("wav2vec weights missing; using random init (smoke mode)")
+        w2v_params = w2v_init
+    audio_proc = AudioProcessor(
+        sample_rate=int(config.data.driving_audio.sample_rate),
+        fps=int(config.data.export_video.fps),
+        wav2vec_params=w2v_params,
+        audio_separator_model_path=str(
+            getattr(getattr(config, "audio_separator", None), "model_path", "")
+        )
+        or None,
+        only_last_features=str(config.wav2vec.features) == "last",
+    )
+    audio_emb, audio_length = audio_proc.preprocess(
+        str(config.driving_audio), clip_length
+    )
+    audio_windows = window_audio_embeddings(audio_emb, margin=2)
+
+    # ------------------------------------------------------------ pipeline
+    sched_kwargs = cfglib.to_container(config.noise_scheduler_kwargs)
+    sched = SchedulerConfig(
+        num_train_timesteps=int(sched_kwargs.get("num_train_timesteps", 1000)),
+        beta_start=float(sched_kwargs["beta_start"]),
+        beta_end=float(sched_kwargs["beta_end"]),
+        beta_schedule=str(sched_kwargs["beta_schedule"]),
+        prediction_type=str(sched_kwargs.get("prediction_type", "v_prediction")),
+        rescale_betas_zero_snr=bool(config.enable_zero_snr),
+        timestep_spacing=str(sched_kwargs.get("timestep_spacing", "trailing")),
+    )
+    pipe = FaceAnimatePipeline(
+        models,
+        sched,
+        num_inference_steps=int(config.inference_steps),
+        guidance_scale=float(config.cfg_scale),
+        clip_length=clip_length,
+        n_motion_frames=n_motion,
+    )
+
+    masks = tuple(
+        (processed.full_masks[d], processed.face_masks[d], processed.lip_masks[d])
+        for d in range(4)
+    )
+    video = pipe(
+        ref_image=processed.pixel_values[None],
+        audio_windows=audio_windows,
+        face_emb=processed.face_emb[None],
+        face_region=processed.face_region[None],
+        masks=masks,
+        motion_scale=(
+            float(config.pose_weight),
+            float(config.face_weight),
+            float(config.lip_weight),
+        ),
+        seed=42,
+        audio_length=audio_length,
+    )
+
+    write_video(video[0], output, fps=int(config.data.export_video.fps),
+                audio_path=str(config.driving_audio))
+    logger.info("wrote %s (%d frames)", output, video.shape[1])
+    return output
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="hallo_tpu inference")
+    parser.add_argument("-c", "--config", default="configs/inference/default.yaml")
+    parser.add_argument("--source_image", type=str, default=None)
+    parser.add_argument("--driving_audio", type=str, default=None)
+    parser.add_argument("--output", type=str, default=None)
+    parser.add_argument("--pose_weight", type=float, default=None)
+    parser.add_argument("--face_weight", type=float, default=None)
+    parser.add_argument("--lip_weight", type=float, default=None)
+    parser.add_argument("--face_expand_ratio", type=float, default=None)
+    parser.add_argument("--audio_ckpt_dir", type=str, default=None)
+    inference_process(parser.parse_args())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""Stage-1 training: spatial/identity (ReferenceNet + denoising UNet in 2D
+mode + FaceLocator + ImageProj from SD-1.5).
+
+Reference: scripts/train_stage1.py:289-793. TPU-native deltas:
+- HF Accelerate + DeepSpeed ZeRO-2 -> jax.sharding Mesh ("data" axis), batch
+  sharded, ZeRO-style optimizer-state sharding (hallo_tpu.parallel)
+- the whole step is one jitted program; gradient all-reduce is inserted by
+  XLA from the shardings
+- orbax checkpoints with keep-k rotation; metrics to JSONL + stdout
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+logging.basicConfig(level=logging.INFO)
+logger = logging.getLogger("hallo_tpu.train1")
+
+
+def train_stage1_process(cfg) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hallo_tpu import config as cfglib
+    from hallo_tpu.config import SchedulerConfig, unet_config_from_yaml_kwargs
+    from hallo_tpu.convert.load_pretrained import load_pretrained_params
+    from hallo_tpu.data.datasets import FaceMaskDataset, batch_iterator
+    from hallo_tpu.parallel.mesh import make_mesh, zero_shard_tree
+    from hallo_tpu.pipelines.face_animate import HalloModels
+    from hallo_tpu.train.state import (
+        OptimizerConfig,
+        TrainState,
+        label_params,
+        make_optimizer,
+        stage1_trainable,
+    )
+    from hallo_tpu.train.step import TrainConfig, make_train_step
+    from hallo_tpu.utils import checkpoint as ckpt
+
+    exp_dir = os.path.join(str(cfg.output_dir), str(cfg.exp_name))
+    os.makedirs(exp_dir, exist_ok=True)
+
+    width = height = int(cfg.data.train_width)
+    unet_kwargs = cfglib.to_container(cfg.unet_additional_kwargs) if "unet_additional_kwargs" in cfg else {}
+    # stage 1 runs the denoiser in 2D mode: no motion/audio modules
+    den_cfg = unet_config_from_yaml_kwargs(
+        unet_kwargs, use_motion_module=False, use_audio_module=False
+    )
+    ref_cfg = unet_config_from_yaml_kwargs(
+        unet_kwargs,
+        use_motion_module=False, use_audio_module=False,
+        use_inflated_groupnorm=False,
+    )
+    models = HalloModels.create(ref_cfg, den_cfg, params={})
+    models.init_params(
+        jax.random.PRNGKey(int(cfg.seed)), height=height, width=width,
+        clip_length=1, n_motion_frames=0,
+    )
+    models.params = load_pretrained_params(
+        models.params,
+        base_model_path=str(cfg.base_model_path),
+        vae_model_path=str(cfg.vae_model_path),
+    )
+
+    labels = label_params(models.params, stage1_trainable)
+    tx = make_optimizer(
+        OptimizerConfig(
+            learning_rate=float(cfg.solver.learning_rate),
+            max_grad_norm=float(cfg.solver.max_grad_norm),
+        ),
+        labels,
+    )
+    state = TrainState.create(models.params, tx)
+    sched = SchedulerConfig(beta_schedule="scaled_linear")
+    train_cfg = TrainConfig(
+        stage=1,
+        uncond_img_ratio=float(cfg.uncond_ratio),
+        uncond_audio_ratio=0.0,
+        uncond_ia_ratio=0.0,
+        start_ratio=0.0,
+        noise_offset=float(cfg.noise_offset),
+        snr_gamma=float(cfg.snr_gamma),
+        scheduler=sched,
+    )
+    step_fn = jax.jit(make_train_step(models, tx, train_cfg), donate_argnums=(0,))
+
+    mesh = make_mesh()
+    data_sharding = NamedSharding(mesh, P("data"))
+    replicated = NamedSharding(mesh, P())
+    state = TrainState(
+        step=jax.device_put(state.step, replicated),
+        params=jax.device_put(state.params, replicated),
+        opt_state=jax.device_put(state.opt_state, zero_shard_tree(state.opt_state, mesh)),
+    )
+
+    dataset = FaceMaskDataset(
+        list(cfg.data.meta_paths),
+        img_size=width,
+        sample_margin=int(cfg.data.sample_margin),
+        seed=int(cfg.seed),
+    )
+    batches = batch_iterator(dataset, int(cfg.data.train_bs) * mesh.shape["data"])
+
+    start_step = 0
+    if str(getattr(cfg, "resume_from_checkpoint", "")) == "latest":
+        latest = ckpt.latest_step(exp_dir)
+        if latest is not None:
+            state, start_step = ckpt.load_train_state(exp_dir, state)
+            logger.info("resumed from checkpoint-%d", start_step)
+
+    rng = jax.random.PRNGKey(int(cfg.seed))
+    metrics_path = os.path.join(exp_dir, "metrics.jsonl")
+    t0 = time.time()
+    for step in range(start_step, int(cfg.solver.max_train_steps)):
+        batch = next(batches)
+        batch = {k: jax.device_put(v, data_sharding) for k, v in batch.items()}
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, sub)
+        if step % int(cfg.get("log_every", 10) if hasattr(cfg, "get") else 10) == 0:
+            loss = float(metrics["loss"])
+            line = {"step": step, "loss": loss,
+                    "grad_norm": float(metrics["grad_norm"]),
+                    "sec": round(time.time() - t0, 1)}
+            logger.info("%s", line)
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps(line) + "\n")
+        if (step + 1) % int(cfg.checkpointing_steps) == 0:
+            ckpt.save_train_state(exp_dir, step + 1, state,
+                                  keep=int(cfg.get("total_limit", 3) if hasattr(cfg, "get") else 3))
+
+    # final per-module exports for stage hand-off (reference
+    # move_final_checkpoint, train_stage1.py:752-758)
+    for name in ("reference_net", "denoising_net", "face_locator", "image_proj"):
+        ckpt.save_params(os.path.join(exp_dir, f"final_{name}"), state.params[name])
+    logger.info("stage 1 done")
+
+
+def main() -> None:
+    from hallo_tpu import config as cfglib
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="configs/train/stage1.yaml")
+    args = parser.parse_args()
+    train_stage1_process(cfglib.load_yaml(args.config))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""Stage-2 training: motion + audio (freezes stage-1 weights; trains
+motion_modules + audio_modules + AudioProj).
+
+Reference: scripts/train_stage2.py:421-959. Same TPU-native deltas as
+stage 1 (see scripts/train_stage1.py docstring)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+logging.basicConfig(level=logging.INFO)
+logger = logging.getLogger("hallo_tpu.train2")
+
+
+def train_stage2_process(cfg) -> None:
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hallo_tpu import config as cfglib
+    from hallo_tpu.config import SchedulerConfig, unet_config_from_yaml_kwargs
+    from hallo_tpu.convert.load_pretrained import load_pretrained_params
+    from hallo_tpu.data.datasets import TalkingVideoDataset, batch_iterator
+    from hallo_tpu.parallel.mesh import make_mesh, zero_shard_tree
+    from hallo_tpu.pipelines.face_animate import HalloModels
+    from hallo_tpu.train.state import (
+        OptimizerConfig,
+        TrainState,
+        label_params,
+        make_optimizer,
+        stage2_trainable,
+    )
+    from hallo_tpu.train.step import TrainConfig, make_train_step
+    from hallo_tpu.utils import checkpoint as ckpt
+
+    exp_dir = os.path.join(str(cfg.output_dir), str(cfg.exp_name))
+    os.makedirs(exp_dir, exist_ok=True)
+
+    width = height = int(cfg.data.train_width)
+    f = int(cfg.data.n_sample_frames)
+    m = int(cfg.data.n_motion_frames)
+    unet_kwargs = cfglib.to_container(cfg.unet_additional_kwargs)
+    den_cfg = unet_config_from_yaml_kwargs(unet_kwargs)
+    ref_cfg = unet_config_from_yaml_kwargs(
+        unet_kwargs,
+        use_motion_module=False, use_audio_module=False,
+        use_inflated_groupnorm=False,
+    )
+    models = HalloModels.create(ref_cfg, den_cfg, params={})
+    models.init_params(
+        jax.random.PRNGKey(int(cfg.seed)), height=height, width=width,
+        clip_length=f, n_motion_frames=m,
+    )
+    # SD-1.5 + AnimateDiff + stage-1 module exports
+    models.params = load_pretrained_params(
+        models.params,
+        base_model_path=str(cfg.base_model_path),
+        motion_module_path=str(cfg.mm_path) if "mm_path" in cfg else None,
+        vae_model_path=str(cfg.vae_model_path),
+    )
+    stage1_dir = str(getattr(cfg, "stage1_ckpt_dir", "")) or None
+    if stage1_dir and os.path.isdir(stage1_dir):
+        for name in ("reference_net", "denoising_net", "face_locator", "image_proj"):
+            path = os.path.join(stage1_dir, f"final_{name}")
+            if os.path.isdir(path):
+                models.params[name] = ckpt.load_params(path, models.params[name])
+                logger.info("loaded stage-1 %s", name)
+
+    labels = label_params(models.params, stage2_trainable)
+    tx = make_optimizer(
+        OptimizerConfig(
+            learning_rate=float(cfg.solver.learning_rate),
+            max_grad_norm=float(cfg.solver.max_grad_norm),
+        ),
+        labels,
+    )
+    state = TrainState.create(models.params, tx)
+    train_cfg = TrainConfig(
+        stage=2,
+        uncond_img_ratio=float(cfg.uncond_img_ratio),
+        uncond_audio_ratio=float(cfg.uncond_audio_ratio),
+        uncond_ia_ratio=float(cfg.uncond_ia_ratio),
+        start_ratio=float(cfg.start_ratio),
+        noise_offset=float(cfg.noise_offset),
+        snr_gamma=float(cfg.snr_gamma),
+        scheduler=SchedulerConfig(beta_schedule="scaled_linear"),
+    )
+    step_fn = jax.jit(make_train_step(models, tx, train_cfg), donate_argnums=(0,))
+
+    mesh = make_mesh()
+    data_sharding = NamedSharding(mesh, P("data"))
+    replicated = NamedSharding(mesh, P())
+    state = TrainState(
+        step=jax.device_put(state.step, replicated),
+        params=jax.device_put(state.params, replicated),
+        opt_state=jax.device_put(state.opt_state, zero_shard_tree(state.opt_state, mesh)),
+    )
+
+    dataset = TalkingVideoDataset(
+        list(cfg.data.meta_paths),
+        n_sample_frames=f,
+        n_motion_frames=m,
+        audio_margin=int(cfg.data.audio_margin),
+        seed=int(cfg.seed),
+    )
+    batches = batch_iterator(dataset, int(cfg.data.train_bs) * mesh.shape["data"])
+
+    start_step = 0
+    if str(getattr(cfg, "resume_from_checkpoint", "")) == "latest":
+        if ckpt.latest_step(exp_dir) is not None:
+            state, start_step = ckpt.load_train_state(exp_dir, state)
+            logger.info("resumed from checkpoint-%d", start_step)
+
+    def put_batch(batch):
+        out = {}
+        for k, v in batch.items():
+            if k == "masks":
+                out[k] = tuple(
+                    tuple(jax.device_put(x, data_sharding) for x in lvl) for lvl in v
+                )
+            else:
+                out[k] = jax.device_put(v, data_sharding)
+        return out
+
+    rng = jax.random.PRNGKey(int(cfg.seed))
+    metrics_path = os.path.join(exp_dir, "metrics.jsonl")
+    t0 = time.time()
+    for step in range(start_step, int(cfg.solver.max_train_steps)):
+        batch = put_batch(next(batches))
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, sub)
+        if step % 10 == 0:
+            line = {"step": step, "loss": float(metrics["loss"]),
+                    "grad_norm": float(metrics["grad_norm"]),
+                    "sec": round(time.time() - t0, 1)}
+            logger.info("%s", line)
+            with open(metrics_path, "a") as fh:
+                fh.write(json.dumps(line) + "\n")
+        if (step + 1) % int(cfg.checkpointing_steps) == 0:
+            ckpt.save_train_state(exp_dir, step + 1, state, keep=3)
+
+    # fused final export (the reference's single net-N.pth,
+    # train_stage2.py:944-953): all five module trees in one orbax dir
+    ckpt.save_params(
+        os.path.join(exp_dir, "final_net"),
+        {k: state.params[k] for k in
+         ("reference_net", "denoising_net", "face_locator", "image_proj", "audio_proj")},
+    )
+    logger.info("stage 2 done")
+
+
+def main() -> None:
+    from hallo_tpu import config as cfglib
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="configs/train/stage2.yaml")
+    args = parser.parse_args()
+    train_stage2_process(cfglib.load_yaml(args.config))
+
+
+if __name__ == "__main__":
+    main()

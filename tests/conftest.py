@@ -23,9 +23,16 @@ os.environ.setdefault("HALLO_TPU_ATTENTION", "xla")
 import jax  # noqa: E402
 import jax._src.xla_bridge as _xb  # noqa: E402
 
+# Persistent compilation cache: XLA compiles take minutes on this 1-core
+# host; cache across processes/sessions.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 # jax is preloaded, so its config already captured JAX_PLATFORMS=axon from
 # the ambient env; override through the live config as well.
 jax.config.update("jax_platforms", "cpu")
 
-for _name in ("axon", "tpu"):
-    _xb._backend_factories.pop(_name, None)
+# Drop only the axon tunnel backend; "tpu" must stay registered as a known
+# platform or pallas-TPU imports fail (mlir lowering registration).
+_xb._backend_factories.pop("axon", None)
