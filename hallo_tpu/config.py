@@ -90,6 +90,11 @@ class UNetConfig:
     stack_enable_blocks_name: Tuple[str, ...] = ("up", "down", "mid")
     stack_enable_blocks_depth: Tuple[int, ...] = (0, 1, 2, 3)
 
+    # Per-block rematerialization (gradient checkpointing) for training
+    # memory, the reference's enable_gradient_checkpointing
+    # (unet_3d_blocks.py:681-748, stage2.yaml).
+    remat: bool = False
+
     # Where motion-frame features are fused before the motion module.
     # The reference concatenates them in *all* blocks on the training
     # (grad-checkpointing) path but only in the mid block at eval

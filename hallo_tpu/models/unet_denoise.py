@@ -121,6 +121,19 @@ class DenoisingUNet(nn.Module):
 
         mm = cfg.motion_module if cfg.use_motion_module else None
 
+        # Per-block rematerialization: recompute block activations in the
+        # backward pass (the reference's gradient checkpointing).
+        def maybe_remat(cls):
+            if not cfg.remat:
+                return cls
+            return nn.remat(cls, static_argnums=())
+
+        _CrossAttnDownBlock = maybe_remat(CrossAttnDownBlock)
+        _DownBlock = maybe_remat(DownBlock)
+        _MidBlock = maybe_remat(MidBlock)
+        _CrossAttnUpBlock = maybe_remat(CrossAttnUpBlock)
+        _UpBlock = maybe_remat(UpBlock)
+
         def mask_level(depth: int):
             if masks is None:
                 return None
@@ -138,7 +151,7 @@ class DenoisingUNet(nn.Module):
             )
             is_final = i == len(ch) - 1
             if block_type.startswith("CrossAttn"):
-                x, states = CrossAttnDownBlock(
+                x, states = _CrossAttnDownBlock(
                     out_channels=ch[i],
                     in_channels=in_ch,
                     heads=heads,
@@ -166,7 +179,7 @@ class DenoisingUNet(nn.Module):
                     uncond_mask,
                 )
             else:
-                x, states = DownBlock(
+                x, states = _DownBlock(
                     out_channels=ch[i],
                     norm_groups=cfg.norm_num_groups,
                     resnet_eps=cfg.norm_eps,
@@ -180,7 +193,7 @@ class DenoisingUNet(nn.Module):
             skips.extend(states)
 
         # --- mid ---
-        x = MidBlock(
+        x = _MidBlock(
             channels=ch[-1],
             in_channels_audio=ch[-1],
             heads=heads,
@@ -217,7 +230,7 @@ class DenoisingUNet(nn.Module):
             skips = skips[:-n_layers_up]
             audio_in_ch = rev[min(i + 1, len(ch) - 1)]
             if block_type.startswith("CrossAttn"):
-                x = CrossAttnUpBlock(
+                x = _CrossAttnUpBlock(
                     out_channels=rev[i],
                     in_channels_audio=audio_in_ch,
                     heads=heads,
@@ -246,7 +259,7 @@ class DenoisingUNet(nn.Module):
                     uncond_mask,
                 )
             else:
-                x = UpBlock(
+                x = _UpBlock(
                     out_channels=rev[i],
                     norm_groups=cfg.norm_num_groups,
                     resnet_eps=cfg.norm_eps,
