@@ -88,6 +88,7 @@ class SpatialTransformerBlock(nn.Module):
     heads: int
     head_dim: int
     upcast_attention: bool = False
+    cfg_split: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -112,6 +113,20 @@ class SpatialTransformerBlock(nn.Module):
         )
         if ref_feature is None:
             x = x + attn1(normed)
+        elif self.cfg_split:
+            # Inference fast path: batch is the static CFG layout
+            # [uncond B/2 | cond B/2] (frames inner). The uncond half never
+            # attends to ref tokens, so give it plain self-attention (half
+            # the KV work) instead of bias-masked attention over the concat —
+            # numerically identical to the masked formulation.
+            half = bf // 2
+            ref_c = jnp.repeat(
+                ref_feature[b // 2 :].astype(normed.dtype), frames, axis=0
+            )
+            out_u = attn1(normed[:half])
+            kv_c = jnp.concatenate([normed[half:], ref_c], axis=1)
+            out_c = attn1(normed[half:], kv_c)
+            x = x + jnp.concatenate([out_u, out_c], axis=0)
         else:
             # KV = [self tokens, ref tokens] per frame.
             ref = jnp.repeat(ref_feature.astype(normed.dtype), frames, axis=0)

@@ -184,9 +184,38 @@ class FeedForward(nn.Module):
         return x
 
 
+class _DenseParams(nn.Module):
+    """Holds a Dense kernel/bias at the same param paths nn.Dense would
+    create (<name>/kernel, <name>/bias) without applying it — the caller
+    contracts with a custom einsum (e.g. heads-major attention layouts)."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
 class CrossAttention(nn.Module):
     """Multi-head attention (self- when context is None), diffusers `Attention`
-    weight layout: to_q/to_k/to_v without bias, to_out with bias."""
+    weight layout: to_q/to_k/to_v without bias, to_out with bias.
+
+    The QKV projections emit the heads-major (B, H, L, D) layout directly via
+    einsum so no standalone transpose materializes before the attention
+    kernel (xprof showed ~8% of the denoiser step in those transposes)."""
 
     heads: int
     head_dim: int
@@ -205,19 +234,48 @@ class CrossAttention(nn.Module):
         context = x if context is None else context
         inner = self.heads * self.head_dim
         out_dim = self.out_dim if self.out_dim is not None else x.shape[-1]
-        q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
-        b, lq = q.shape[0], q.shape[1]
-        lk = k.shape[1]
-        q = q.reshape(b, lq, self.heads, self.head_dim)
-        k = k.reshape(b, lk, self.heads, self.head_dim)
-        v = v.reshape(b, lk, self.heads, self.head_dim)
+        c_q, c_kv = x.shape[-1], context.shape[-1]
+
+        wq, _ = _Wrap(c_q, inner, False, dtype=self.dtype, name="to_q")()
+        wk, _ = _Wrap(c_kv, inner, False, dtype=self.dtype, name="to_k")()
+        wv, _ = _Wrap(c_kv, inner, False, dtype=self.dtype, name="to_v")()
+        wo, bo = _Wrap(inner, out_dim, True, dtype=self.dtype, name="to_out")()
+
+        h, d = self.heads, self.head_dim
+        q = jnp.einsum(
+            "blc,chd->bhld", x, wq.reshape(c_q, h, d).astype(self.dtype)
+        )
+        k = jnp.einsum(
+            "blc,chd->bhld", context, wk.reshape(c_kv, h, d).astype(self.dtype)
+        )
+        v = jnp.einsum(
+            "blc,chd->bhld", context, wv.reshape(c_kv, h, d).astype(self.dtype)
+        )
         if self.upcast:
             q, k = q.astype(jnp.float32), k.astype(jnp.float32)
         out = dot_product_attention(q, k, v, bias=bias, backend=backend)
-        out = out.reshape(b, lq, inner).astype(self.dtype)
-        return Dense(out_dim, dtype=self.dtype, name="to_out")(out)
+        out = jnp.einsum(
+            "bhld,hdc->blc",
+            out.astype(self.dtype),
+            wo.reshape(h, d, out_dim).astype(self.dtype),
+        )
+        return out + bo.astype(self.dtype)
+
+
+class _Wrap(nn.Module):
+    """Param subtree shaped like the Dense wrapper (<name>/Dense_0/{kernel,
+    bias}) for checkpoint-converter compatibility."""
+
+    in_features: int
+    features: int
+    use_bias: bool
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        return _DenseParams(
+            self.in_features, self.features, self.use_bias, name="Dense_0"
+        )()
 
 
 def sinusoidal_positions(max_len: int, dim: int) -> jax.Array:

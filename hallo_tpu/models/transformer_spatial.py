@@ -31,6 +31,7 @@ class SpatialTransformer(nn.Module):
     num_layers: int = 1
     norm_num_groups: int = 32
     upcast_attention: bool = False
+    cfg_split: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -53,6 +54,7 @@ class SpatialTransformer(nn.Module):
                 self.heads,
                 self.head_dim,
                 upcast_attention=self.upcast_attention,
+                cfg_split=self.cfg_split,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(hs, ref_feature, context, f, uncond_mask)

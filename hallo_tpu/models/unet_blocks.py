@@ -56,6 +56,7 @@ class CrossAttnDownBlock(nn.Module):
     hierarchical_audio: bool = False
     motion_config: Optional[MotionModuleConfig] = None
     upcast_attention: bool = False
+    cfg_split: bool = False
     fuse_motion: bool = False
     dtype: Dtype = jnp.float32
 
@@ -87,6 +88,7 @@ class CrossAttnDownBlock(nn.Module):
                 self.out_channels // self.heads,
                 norm_num_groups=self.norm_groups,
                 upcast_attention=self.upcast_attention,
+                cfg_split=self.cfg_split,
                 dtype=self.dtype,
                 name=f"attentions_{i}",
             )(x, ref_features[i], context, uncond_mask)
@@ -168,6 +170,7 @@ class MidBlock(nn.Module):
     hierarchical_audio: bool = False
     motion_config: Optional[MotionModuleConfig] = None
     upcast_attention: bool = False
+    cfg_split: bool = False
     fuse_motion: bool = True
     dtype: Dtype = jnp.float32
 
@@ -197,6 +200,7 @@ class MidBlock(nn.Module):
             self.channels // self.heads,
             norm_num_groups=self.norm_groups,
             upcast_attention=self.upcast_attention,
+            cfg_split=self.cfg_split,
             dtype=self.dtype,
             name="attentions_0",
         )(x, ref_features[0], context, uncond_mask)
@@ -246,6 +250,7 @@ class CrossAttnUpBlock(nn.Module):
     hierarchical_audio: bool = False
     motion_config: Optional[MotionModuleConfig] = None
     upcast_attention: bool = False
+    cfg_split: bool = False
     fuse_motion: bool = False
     dtype: Dtype = jnp.float32
 
@@ -279,6 +284,7 @@ class CrossAttnUpBlock(nn.Module):
                 self.out_channels // self.heads,
                 norm_num_groups=self.norm_groups,
                 upcast_attention=self.upcast_attention,
+                cfg_split=self.cfg_split,
                 dtype=self.dtype,
                 name=f"attentions_{i}",
             )(x, ref_features[i], context, uncond_mask)

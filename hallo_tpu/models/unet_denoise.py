@@ -64,6 +64,7 @@ class DenoisingUNet(nn.Module):
         motion_scale: Optional[jax.Array] = None,
         uncond_mask: Optional[jax.Array] = None,
         train: bool = False,
+        cfg_split: bool = False,
     ) -> jax.Array:
         """Predict v / epsilon for a noisy latent video.
 
@@ -81,6 +82,9 @@ class DenoisingUNet(nn.Module):
           uncond_mask: (B,) 1.0 where the entry is the CFG-uncond half.
           train: selects the reference's training-path motion-frame fusion
             (all blocks) instead of the eval path (mid only).
+          cfg_split: static inference fast path — the batch is the CFG
+            layout [uncond B/2 | cond B/2]; the uncond half runs plain
+            self-attention (half the KV) instead of bias-masked attention.
         """
         cfg = self.config
         b, f = sample.shape[0], sample.shape[1]
@@ -164,6 +168,7 @@ class DenoisingUNet(nn.Module):
                     hierarchical_audio=_hierarchical(cfg, "down", i),
                     motion_config=mm if use_mm else None,
                     upcast_attention=cfg.upcast_attention,
+                    cfg_split=cfg_split,
                     fuse_motion=fuse_at("down"),
                     dtype=self.dtype,
                     name=f"down_blocks_{i}",
@@ -204,6 +209,7 @@ class DenoisingUNet(nn.Module):
             hierarchical_audio=_hierarchical(cfg, "mid", 3),
             motion_config=mm if (mm is not None and cfg.motion_module_mid_block) else None,
             upcast_attention=cfg.upcast_attention,
+            cfg_split=cfg_split,
             fuse_motion=fuse_at("mid"),
             dtype=self.dtype,
             name="mid_block",
@@ -243,6 +249,7 @@ class DenoisingUNet(nn.Module):
                     hierarchical_audio=_hierarchical(cfg, "up", 3 - i),
                     motion_config=mm if use_mm else None,
                     upcast_attention=cfg.upcast_attention,
+                    cfg_split=cfg_split,
                     fuse_motion=fuse_at("up"),
                     dtype=self.dtype,
                     name=f"up_blocks_{i}",

@@ -66,10 +66,10 @@ class VAEAttention(nn.Module):
         dense = lambda name: nn.Dense(
             c, dtype=self.dtype, param_dtype=jnp.float32, name=name
         )
-        q = dense("to_q")(normed)[:, :, None, :]
-        k = dense("to_k")(normed)[:, :, None, :]
-        v = dense("to_v")(normed)[:, :, None, :]
-        out = dot_product_attention(q, k, v)[:, :, 0, :]
+        q = dense("to_q")(normed)[:, None, :, :]
+        k = dense("to_k")(normed)[:, None, :, :]
+        v = dense("to_v")(normed)[:, None, :, :]
+        out = dot_product_attention(q, k, v)[:, 0]
         out = dense("to_out")(out)
         return x + out.reshape(b, h, w, c)
 

@@ -89,10 +89,10 @@ class EncoderLayer(nn.Module):
         dense = lambda feats, name: nn.Dense(
             feats, dtype=self.dtype, param_dtype=jnp.float32, name=name
         )
-        q = dense(c, "q_proj")(h).reshape(b, t, heads, head_dim)
-        k = dense(c, "k_proj")(h).reshape(b, t, heads, head_dim)
-        v = dense(c, "v_proj")(h).reshape(b, t, heads, head_dim)
-        attn = dot_product_attention(q, k, v).reshape(b, t, c)
+        q = dense(c, "q_proj")(h).reshape(b, t, heads, head_dim).transpose(0, 2, 1, 3)
+        k = dense(c, "k_proj")(h).reshape(b, t, heads, head_dim).transpose(0, 2, 1, 3)
+        v = dense(c, "v_proj")(h).reshape(b, t, heads, head_dim).transpose(0, 2, 1, 3)
+        attn = dot_product_attention(q, k, v).transpose(0, 2, 1, 3).reshape(b, t, c)
         h = h + dense(c, "out_proj")(attn)
         h = LayerNorm(cfg.layer_norm_eps, dtype=self.dtype, name="layer_norm")(h)
         ff = dense(cfg.intermediate_size, "intermediate")(h)

@@ -7,9 +7,12 @@ This replaces the reference's xformers CUDA memory-efficient attention
 - "xla": a plain jnp formulation that XLA fuses well on TPU (always correct,
   used on CPU test meshes and as the numerics oracle), softmax in fp32.
 - "pallas": a fused flash-attention kernel (hallo_tpu/ops/pallas_flash.py)
-  tiled for the MXU, used for the hot spatial/temporal/audio layouts on TPU.
+  tiled for the MXU, used for the hot spatial layouts on TPU.
 
-All callers use the layout q: (B, Lq, H, D), k/v: (B, Lk, H, D).
+Layout: q/k/v are (B, H, L, D) — heads-major. Producers emit this layout
+directly from their QKV projections (einsum epilogue) so no standalone
+transpose materializes between projection and attention (xprof showed ~8%
+of the denoiser step in such "data formatting" before this).
 """
 
 from __future__ import annotations
@@ -48,14 +51,14 @@ def _xla_attention(
     bias: Optional[jax.Array],
     scale: float,
 ) -> jax.Array:
-    # (B, Lq, H, D) x (B, Lk, H, D) -> (B, H, Lq, Lk)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    # (B, H, Lq, D) x (B, H, Lk, D) -> (B, H, Lq, Lk)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     weights = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(
-        "bhqk,bkhd->bqhd", weights.astype(v.dtype), v, preferred_element_type=jnp.float32
+        "bhqk,bhkd->bhqd", weights.astype(v.dtype), v, preferred_element_type=jnp.float32
     )
     return out.astype(v.dtype)
 
@@ -69,18 +72,18 @@ def dot_product_attention(
     scale: Optional[float] = None,
     backend: Optional[str] = None,
 ) -> jax.Array:
-    """Multi-head scaled dot-product attention.
+    """Multi-head scaled dot-product attention, heads-major layout.
 
     Args:
-      q: (B, Lq, H, D)
-      k, v: (B, Lk, H, D)
+      q: (B, H, Lq, D)
+      k, v: (B, H, Lk, D)
       bias: optional additive logits bias broadcastable to (B, H, Lq, Lk).
         Used for the CFG-uncond "no reference KV" masking
         (reference: hallo/models/mutual_self_attention.py:264-284).
       scale: defaults to D**-0.5.
 
     Returns:
-      (B, Lq, H, D) in v.dtype.
+      (B, H, Lq, D) in v.dtype.
     """
     if scale is None:
         scale = float(q.shape[-1]) ** -0.5
@@ -91,7 +94,7 @@ def dot_product_attention(
         # OOMs), while tiny-KV (audio, 32 tokens) and tiny-seq (temporal,
         # 16-18 frames over a huge batch) layouts are launch-overhead bound
         # and faster through plain XLA fusion.
-        lq, lk = q.shape[1], k.shape[1]
+        lq, lk = q.shape[2], k.shape[2]
         if lq >= 256 and lk >= 256:
             from hallo_tpu.ops import pallas_flash
 

@@ -11,9 +11,13 @@ layouts of this model family:
 Design (see /opt/skills/guides/boom_attention_tricks.md):
 - grid (B, H, Lq/block_q, Lk/block_k); online softmax with fp32 m/l/acc
   scratch persisting across KV tiles
-- additive bias of shape (B, Lk) — exactly what the CFG-uncond "mask the ref
-  tokens" trick needs (mutual_self_attention.py:264-284); padding masking is
-  folded into the same bias
+- VPU economy: SD-1.5 head dims (40/80) make attention softmax-bound on the
+  VPU, so the softmax runs in the exp2 domain with log2(e) (and the sm scale)
+  folded into Q before the kernel — one transcendental and no separate scale
+  pass per scores element
+- optional additive per-key bias (B, Lk) — the CFG-uncond "mask the ref
+  tokens" trick (mutual_self_attention.py:264-284); the no-bias variant
+  skips the add entirely; padding masking is folded into the same bias
 - mask value -0.7*f32_max (not -inf) to avoid exp(-inf - -inf) NaNs
 - backward: custom_vjp recomputing attention with the XLA formulation (exact
   same math; trades memory for a second pass) so the kernel is usable in
@@ -23,6 +27,7 @@ Design (see /opt/skills/guides/boom_attention_tricks.md):
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -32,12 +37,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
+LOG2E = math.log2(math.e)
 
 
 def _attention_kernel(
-    q_ref, k_ref, v_ref, bias_ref, o_ref, m_scratch, l_scratch, acc_scratch,
-    *, scale: float, num_kv_tiles: int
+    *refs, has_bias: bool, num_kv_tiles: int
 ):
+    """Online-softmax attention tile. Logits arrive pre-scaled into the exp2
+    domain (Q was multiplied by sm_scale * log2e)."""
+    if has_bias:
+        q_ref, k_ref, v_ref, bias_ref, o_ref, m_scratch, l_scratch, acc_scratch = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch = refs
     kv_idx = pl.program_id(3)
 
     @pl.when(kv_idx == 0)
@@ -46,20 +57,20 @@ def _attention_kernel(
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    q = q_ref[0, 0]  # (bq, D)
+    q = q_ref[0, 0]  # (bq, D) — pre-scaled by sm_scale * log2(e)
     k = k_ref[0, 0]  # (bk, D)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s = s * scale
-    s = s + bias_ref[0].astype(jnp.float32)  # (bq, bk) + (1, bk)
+    if has_bias:
+        s = s + bias_ref[0].astype(jnp.float32)  # (bq, bk) + (1, bk)
 
     m_prev = m_scratch[...]  # (bq, LANES)
     l_prev = l_scratch[...]
     m_curr = jnp.max(s, axis=1, keepdims=True)  # (bq, 1)
     m_next = jnp.maximum(m_prev, m_curr)  # lane-broadcasted
-    alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - m_next[:, :1])
+    alpha = jnp.exp2(m_prev - m_next)
+    p = jnp.exp2(s - m_next[:, :1])
     l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
     m_scratch[...] = m_next
     l_scratch[...] = l_next
@@ -96,13 +107,13 @@ def _flash_forward(
     block_q: int,
     block_k: int,
 ) -> jax.Array:
-    b, lq, h, d = q.shape
-    lk = k.shape[1]
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
 
-    # (B, L, H, D) -> (B, H, L, D)
-    qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
+    # Fold sm-scale and the exp->exp2 change of base into Q (one cheap
+    # multiply instead of a per-scores-element pass).
+    qt = q * jnp.asarray(scale * LOG2E, q.dtype)
+    kt, vt = k, v
 
     block_q = min(block_q, max(LANES, lq))
     block_k = min(block_k, max(LANES, lk))
@@ -111,39 +122,45 @@ def _flash_forward(
     vt = _pad_to(vt, 2, block_k)
     lq_p, lk_p = qt.shape[2], kt.shape[2]
 
-    # Fold user bias + KV padding mask into one (B, Lk_p) f32 bias.
-    full_bias = jnp.zeros((b, lk_p), jnp.float32)
-    if lk_p != lk:
-        pad_mask = jnp.arange(lk_p) >= lk
-        full_bias = jnp.where(pad_mask[None, :], MASK_VALUE, 0.0)
-        full_bias = jnp.broadcast_to(full_bias, (b, lk_p))
-    if bias is not None:
-        user = bias.reshape(b, -1).astype(jnp.float32)
-        full_bias = full_bias.at[:, :lk].add(user) if lk_p != lk else full_bias + user
+    # Fold user bias + KV padding mask into one (B, Lk_p) f32 bias (exp2
+    # domain). No padding and no user bias -> biasless fast path.
+    has_bias = bias is not None or lk_p != lk
+    if has_bias:
+        full_bias = jnp.zeros((b, lk_p), jnp.float32)
+        if lk_p != lk:
+            pad_mask = jnp.arange(lk_p) >= lk
+            full_bias = jnp.where(pad_mask[None, :], MASK_VALUE, 0.0)
+            full_bias = jnp.broadcast_to(full_bias, (b, lk_p))
+        if bias is not None:
+            user = bias.reshape(b, -1).astype(jnp.float32) * LOG2E
+            full_bias = (
+                full_bias.at[:, :lk].add(user) if lk_p != lk else full_bias + user
+            )
+        full_bias = full_bias[:, None, :]  # (B, 1, Lk_p)
 
-    full_bias = full_bias[:, None, :]  # (B, 1, Lk_p): Mosaic-friendly block shape
     num_q_tiles = lq_p // block_q
     num_kv_tiles = lk_p // block_k
     grid = (b, h, num_q_tiles, num_kv_tiles)
 
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+    ]
+    inputs = [qt, kt, vt]
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki))
+        )
+        inputs.append(full_bias)
+
     out = pl.pallas_call(
         functools.partial(
-            _attention_kernel, scale=scale, num_kv_tiles=num_kv_tiles
+            _attention_kernel, has_bias=has_bias, num_kv_tiles=num_kv_tiles
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, lq_p, d), v.dtype),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)
-            ),
-            pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)
         ),
@@ -155,18 +172,18 @@ def _flash_forward(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
-    )(qt, kt, vt, full_bias)
+    )(*inputs)
 
-    return out[:, :, :lq, :].transpose(0, 2, 1, 3)
+    return out[:, :, :lq, :]
 
 
 def _xla_reference(q, k, v, bias, scale):
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale
     if bias is not None:
         logits = logits + bias.reshape(bias.shape[0], 1, 1, -1).astype(jnp.float32)
     weights = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(v.dtype), v)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v)
     return out.astype(v.dtype)
 
 
@@ -200,12 +217,12 @@ def flash_attention(
     block_q: int = 512,
     block_k: int = 512,
 ) -> jax.Array:
-    """Fused attention. q: (B, Lq, H, D); k/v: (B, Lk, H, D);
+    """Fused attention, heads-major. q: (B, H, Lq, D); k/v: (B, H, Lk, D);
     bias broadcastable to (B, Lk) (per-key additive logits bias)."""
     if scale is None:
         scale = float(q.shape[-1]) ** -0.5
     if bias is not None:
         bias = jnp.broadcast_to(
-            bias.reshape(bias.shape[0], -1)[:, -k.shape[1]:], (q.shape[0], k.shape[1])
+            bias.reshape(bias.shape[0], -1)[:, -k.shape[2]:], (q.shape[0], k.shape[2])
         )
     return _flash(q, k, v, bias, float(scale), int(block_q), int(block_k))

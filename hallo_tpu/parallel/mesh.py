@@ -20,6 +20,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed() -> bool:
+    """Initialize jax.distributed on multihost slices (the reference's
+    multinode path is accelerate launch rank args, README.md:301-334; on TPU
+    pods the runtime env carries coordinator/process info)."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS"
+    ):
+        try:
+            jax.distributed.initialize()
+            return True
+        except Exception:  # already initialized or single-process
+            return False
+    return False
+
+
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,

@@ -272,9 +272,11 @@ class FaceAnimatePipeline:
             return jnp.tile(per_frame.reshape(b * f, -1), (2, 1))
 
         masks_cfg = tuple(tuple(expand(x) for x in level) for level in masks)
-        uncond_mask = jnp.concatenate([jnp.ones((b,)), jnp.zeros((b,))])
 
-        # --- denoise loop ---
+        # --- denoise loop (cfg_split: the [uncond | cond] batch layout is
+        # static here, so the uncond half runs plain self-attention instead
+        # of bias-masked attention over the ref-KV concat — same math, half
+        # the uncond KV work) ---
         def body(i, lat):
             t = self._ddim.timesteps[i]
             model_in = jnp.tile(lat, (2, 1, 1, 1, 1))
@@ -289,7 +291,8 @@ class FaceAnimatePipeline:
                 face_cond,
                 masks_cfg,
                 motion_scale,
-                uncond_mask,
+                None,
+                cfg_split=True,
             )
             if self.guidance_scale > 1.0:
                 un, co = out[:b], out[b:]

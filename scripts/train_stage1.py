@@ -34,7 +34,11 @@ def train_stage1_process(cfg) -> None:
     from hallo_tpu.config import SchedulerConfig, unet_config_from_yaml_kwargs
     from hallo_tpu.convert.load_pretrained import load_pretrained_params
     from hallo_tpu.data.datasets import FaceMaskDataset, batch_iterator
-    from hallo_tpu.parallel.mesh import make_mesh, zero_shard_tree
+    from hallo_tpu.parallel.mesh import (
+        make_mesh,
+        maybe_initialize_distributed,
+        zero_shard_tree,
+    )
     from hallo_tpu.pipelines.face_animate import HalloModels
     from hallo_tpu.train.state import (
         OptimizerConfig,
@@ -46,6 +50,7 @@ def train_stage1_process(cfg) -> None:
     from hallo_tpu.train.step import TrainConfig, make_train_step
     from hallo_tpu.utils import checkpoint as ckpt
 
+    maybe_initialize_distributed()
     exp_dir = os.path.join(str(cfg.output_dir), str(cfg.exp_name))
     os.makedirs(exp_dir, exist_ok=True)
 

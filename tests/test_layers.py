@@ -83,9 +83,9 @@ def test_feedforward_geglu_matches_torch():
 def test_attention_matches_torch_sdpa():
     rng = np.random.default_rng(4)
     b, lq, lk, h, d = 2, 6, 9, 4, 16
-    q = rng.normal(size=(b, lq, h, d)).astype(np.float32)
-    k = rng.normal(size=(b, lk, h, d)).astype(np.float32)
-    v = rng.normal(size=(b, lk, h, d)).astype(np.float32)
+    q = rng.normal(size=(b, h, lq, d)).astype(np.float32)
+    k = rng.normal(size=(b, h, lk, d)).astype(np.float32)
+    v = rng.normal(size=(b, h, lk, d)).astype(np.float32)
 
     from hallo_tpu.ops.attention import dot_product_attention
 
@@ -93,10 +93,8 @@ def test_attention_matches_torch_sdpa():
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), backend="xla"
     )
     want = torch.nn.functional.scaled_dot_product_attention(
-        torch.from_numpy(q).permute(0, 2, 1, 3),
-        torch.from_numpy(k).permute(0, 2, 1, 3),
-        torch.from_numpy(v).permute(0, 2, 1, 3),
-    ).permute(0, 2, 1, 3).numpy()
+        torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v)
+    ).numpy()
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
 
@@ -106,17 +104,17 @@ def test_attention_bias_masks_ref_tokens():
     # mutual_self_attention.py:264-284).
     rng = np.random.default_rng(5)
     b, l, lr, h, d = 2, 5, 3, 2, 8
-    q = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
-    k_self = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
-    k_ref = jnp.asarray(rng.normal(size=(b, lr, h, d)).astype(np.float32))
-    v_self = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
-    v_ref = jnp.asarray(rng.normal(size=(b, lr, h, d)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(b, h, l, d)).astype(np.float32))
+    k_self = jnp.asarray(rng.normal(size=(b, h, l, d)).astype(np.float32))
+    k_ref = jnp.asarray(rng.normal(size=(b, h, lr, d)).astype(np.float32))
+    v_self = jnp.asarray(rng.normal(size=(b, h, l, d)).astype(np.float32))
+    v_ref = jnp.asarray(rng.normal(size=(b, h, lr, d)).astype(np.float32))
 
     from hallo_tpu.models.attention_blocks import NEG_INF
     from hallo_tpu.ops.attention import dot_product_attention
 
-    k = jnp.concatenate([k_self, k_ref], axis=1)
-    v = jnp.concatenate([v_self, v_ref], axis=1)
+    k = jnp.concatenate([k_self, k_ref], axis=2)
+    v = jnp.concatenate([v_self, v_ref], axis=2)
     bias = jnp.concatenate(
         [jnp.zeros((b, 1, 1, l)), jnp.full((b, 1, 1, lr), NEG_INF)], axis=-1
     )

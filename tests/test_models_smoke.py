@@ -137,6 +137,43 @@ def test_denoising_unet_end_to_end(tiny_ref, tiny_denoise):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_cfg_split_matches_masked_path(tiny_ref, tiny_denoise):
+    # The static CFG-split fast path must equal the bias-masked formulation.
+    ref_cfg, ref_model, ref_params = tiny_ref
+    cfg, model = tiny_denoise
+    b, f, hw, n_motion = 2, 2, 16, 2
+    rng = np.random.default_rng(7)
+
+    ref_lat = jnp.asarray(
+        rng.normal(size=(b * (1 + n_motion), hw, hw, 4)).astype(np.float32)
+    )
+    ctx = jnp.asarray(rng.normal(size=(b, 4, cfg.cross_attention_dim)).astype(np.float32))
+    _, feats = jax.jit(ref_model.apply)(
+        ref_params, ref_lat, jnp.zeros(()), jnp.repeat(ctx, 1 + n_motion, axis=0)
+    )
+    split = jax.tree.map(lambda x: x.reshape(b, 1 + n_motion, *x.shape[1:]), feats)
+    ref_feats = jax.tree.map(lambda x: x[:, 0], split)
+    motion_feats = jax.tree.map(lambda x: x[:, 1:], split)
+
+    sample = jnp.asarray(rng.normal(size=(b, f, hw, hw, 4)).astype(np.float32))
+    audio = jnp.asarray(
+        rng.normal(size=(b, f, 3, cfg.audio_attention_dim)).astype(np.float32)
+    )
+    masks = tuple(
+        tuple(jnp.ones((b * f, (hw // 2**d) ** 2)) for _ in range(3)) for d in range(4)
+    )
+    args = (sample, jnp.asarray(300), ctx, ref_feats, motion_feats, audio, None,
+            masks, jnp.ones(3))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), *args, jnp.asarray([1.0, 0.0])
+    )
+    masked = jax.jit(lambda p: model.apply(p, *args, jnp.asarray([1.0, 0.0])))(params)
+    split_out = jax.jit(lambda p: model.apply(p, *args, None, cfg_split=True))(params)
+    np.testing.assert_allclose(
+        np.asarray(masked), np.asarray(split_out), atol=2e-5
+    )
+
+
 def test_motion_module_is_identity_at_init():
     cfg = MotionModuleConfig(
         num_attention_heads=2, temporal_position_encoding_max_len=8, norm_num_groups=4

@@ -32,9 +32,9 @@ def _ref(q, k, v, bias=None):
 def test_flash_matches_xla_basic():
     rng = np.random.default_rng(0)
     b, lq, lk, h, d = 2, 256, 256, 2, 64
-    q = rng.normal(size=(b, lq, h, d)).astype(np.float32)
-    k = rng.normal(size=(b, lk, h, d)).astype(np.float32)
-    v = rng.normal(size=(b, lk, h, d)).astype(np.float32)
+    q = rng.normal(size=(b, h, lq, d)).astype(np.float32)
+    k = rng.normal(size=(b, h, lk, d)).astype(np.float32)
+    v = rng.normal(size=(b, h, lk, d)).astype(np.float32)
     got = np.asarray(_run(q, k, v, block_q=128, block_k=128))
     want = np.asarray(_ref(q, k, v))
     np.testing.assert_allclose(got, want, atol=2e-5)
@@ -43,9 +43,9 @@ def test_flash_matches_xla_basic():
 def test_flash_non_multiple_lengths_and_bias():
     rng = np.random.default_rng(1)
     b, lq, lk, h, d = 2, 100, 150, 2, 40  # ragged lengths, SD head_dim 40
-    q = rng.normal(size=(b, lq, h, d)).astype(np.float32)
-    k = rng.normal(size=(b, lk, h, d)).astype(np.float32)
-    v = rng.normal(size=(b, lk, h, d)).astype(np.float32)
+    q = rng.normal(size=(b, h, lq, d)).astype(np.float32)
+    k = rng.normal(size=(b, h, lk, d)).astype(np.float32)
+    v = rng.normal(size=(b, h, lk, d)).astype(np.float32)
     # mask the last 50 keys for batch entry 0 (the CFG-uncond ref masking)
     bias = np.zeros((b, lk), np.float32)
     bias[0, 100:] = -1e9
@@ -58,9 +58,9 @@ def test_flash_small_kv_audio_layout():
     # audio cross-attention: 32 kv tokens, large q
     rng = np.random.default_rng(2)
     b, lq, lk, h, d = 2, 256, 32, 2, 40
-    q = rng.normal(size=(b, lq, h, d)).astype(np.float32)
-    k = rng.normal(size=(b, lk, h, d)).astype(np.float32)
-    v = rng.normal(size=(b, lk, h, d)).astype(np.float32)
+    q = rng.normal(size=(b, h, lq, d)).astype(np.float32)
+    k = rng.normal(size=(b, h, lk, d)).astype(np.float32)
+    v = rng.normal(size=(b, h, lk, d)).astype(np.float32)
     got = np.asarray(_run(q, k, v, block_q=128, block_k=128))
     want = np.asarray(_ref(q, k, v))
     np.testing.assert_allclose(got, want, atol=2e-5)
@@ -69,9 +69,9 @@ def test_flash_small_kv_audio_layout():
 def test_flash_grad_matches_xla():
     rng = np.random.default_rng(3)
     b, lq, lk, h, d = 1, 128, 128, 1, 32
-    q = jnp.asarray(rng.normal(size=(b, lq, h, d)).astype(np.float32))
-    k = jnp.asarray(rng.normal(size=(b, lk, h, d)).astype(np.float32))
-    v = jnp.asarray(rng.normal(size=(b, lk, h, d)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(b, h, lq, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, lk, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, lk, d)).astype(np.float32))
 
     def loss_flash(q, k, v):
         with pltpu.force_tpu_interpret_mode():
