@@ -35,16 +35,35 @@ def group_norm(
     pass (B*F, H, W, C) for per-frame GroupNorm (torch nn.GroupNorm on folded
     frames) or (B, F, H, W, C) for "inflated" GroupNorm whose stats span
     (F, H, W) (reference: hallo/models/resnet.py:69-101).
+
+    TPU layout note: the big-tensor passes keep C as the minor (lane) dim —
+    per-channel sum/sum-of-squares, then the tiny (B, C) stats are regrouped.
+    The naive (B, N, G, C/G) reshape makes the lane dim C/G (= 10 for SD's
+    320/32), a ~13x tile-padding tax on every GN; xprof showed these as some
+    of the hottest fusions in the denoiser step.
     """
     orig_dtype = x.dtype
     b, c = x.shape[0], x.shape[-1]
-    xf = x.astype(jnp.float32).reshape(b, -1, num_groups, c // num_groups)
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
-    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xf = xf.reshape(x.shape)
-    out = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    return out.astype(orig_dtype)
+    g = num_groups
+    cg = c // g
+    xf = x.reshape(b, -1, c)
+    n = xf.shape[1]
+
+    x32 = xf.astype(jnp.float32)
+    s1 = jnp.sum(x32, axis=1)  # (B, C)
+    s2 = jnp.sum(jnp.square(x32), axis=1)  # (B, C)
+    denom = float(n * cg)
+    mean_g = jnp.sum(s1.reshape(b, g, cg), axis=-1) / denom  # (B, G)
+    ex2_g = jnp.sum(s2.reshape(b, g, cg), axis=-1) / denom
+    var_g = jnp.maximum(ex2_g - jnp.square(mean_g), 0.0)
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+
+    mean_c = jnp.repeat(mean_g, cg, axis=-1)  # (B, C)
+    rstd_c = jnp.repeat(rstd_g, cg, axis=-1)
+    eff_scale = rstd_c * scale[None, :].astype(jnp.float32)  # (B, C)
+    eff_bias = bias[None, :].astype(jnp.float32) - mean_c * eff_scale
+    out = x32 * eff_scale[:, None, :] + eff_bias[:, None, :]
+    return out.reshape(x.shape).astype(orig_dtype)
 
 
 class GroupNorm(nn.Module):
