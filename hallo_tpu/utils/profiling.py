@@ -60,6 +60,50 @@ class StageTimer:
         }
 
 
+def summarize_hlo_stats(trace_dir: str, top_n: int = 12) -> Dict[str, Any]:
+    """Parse an xprof trace (written by `trace(...)`) into per-category and
+    per-op device-time breakdowns — the tooling the reference lacked
+    entirely (SURVEY.md §5: tqdm only).
+
+    Requires tensorflow's profiler plugin (present in this image)."""
+    import glob
+    import json as _json
+    from collections import defaultdict
+
+    from tensorflow.python.profiler.internal import (  # type: ignore
+        _pywrap_profiler_plugin as plugin,
+    )
+
+    xplanes = sorted(glob.glob(os.path.join(trace_dir, "**/*.xplane.pb"),
+                               recursive=True))
+    if not xplanes:
+        raise FileNotFoundError(f"no xplane.pb under {trace_dir}")
+    data, _ = plugin.xspace_to_tools_data([xplanes[-1]], "hlo_stats")
+    table = _json.loads(data)
+    cols = [c["label"] for c in table["cols"]]
+    idx = {c: i for i, c in enumerate(cols)}
+    by_cat: Dict[str, float] = defaultdict(float)
+    by_op: Dict[str, float] = defaultdict(float)
+    total = 0.0
+    for row in table["rows"]:
+        cells = [c.get("v") if c else None for c in row["c"]]
+        t = float(cells[idx["Total self time (us)"]] or 0.0)
+        total += t
+        by_cat[cells[idx["HLO op category"]]] += t
+        by_op[(cells[idx["HLO op name"]] or "")[:60]] += t
+    return {
+        "total_ms": total / 1e3,
+        "by_category_ms": dict(
+            sorted(((k, v / 1e3) for k, v in by_cat.items()),
+                   key=lambda kv: -kv[1])
+        ),
+        "top_ops_ms": dict(
+            sorted(((k, v / 1e3) for k, v in by_op.items()),
+                   key=lambda kv: -kv[1])[:top_n]
+        ),
+    }
+
+
 class MetricsLogger:
     """JSONL + optional TensorBoard scalars."""
 
