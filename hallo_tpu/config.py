@@ -244,6 +244,7 @@ def unet_config_from_yaml_kwargs(kwargs: Mapping[str, Any], **extra: Any) -> UNe
             mm_kwargs.get("temporal_position_encoding_max_len", 32)
         ),
         temporal_attention_dim_div=int(mm_kwargs.get("temporal_attention_dim_div", 1)),
+        norm_num_groups=int(mm_kwargs.get("norm_num_groups", 32)),
     )
     known = {f.name for f in dataclasses.fields(UNetConfig)}
     picked = {}
@@ -287,6 +288,22 @@ def load_yaml(path: str) -> Any:
 
     with open(path) as f:
         return DotDict.wrap(yaml.safe_load(f))
+
+
+def load_config(path: str) -> Any:
+    """Load a training/inference config from YAML, or from a Python module
+    exposing `cfg` (reference: scripts/train_stage1.py:765-780, which accepts
+    either a .yaml or a .py config via util.import_filename)."""
+    if path.endswith(".py"):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location("hallo_cfg_module", path)
+        module = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(module)
+        return DotDict.wrap(getattr(module, "cfg"))
+    if path.endswith((".yaml", ".yml")):
+        return load_yaml(path)
+    raise ValueError(f"config must be .yaml/.yml or .py, got: {path}")
 
 
 def filter_non_none(mapping: Mapping[str, Any]) -> dict:

@@ -87,6 +87,63 @@ def _attention_kernel(
         o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
 
 
+def _attention_kernel_t(
+    *refs, has_bias: bool, num_kv_tiles: int
+):
+    """Transposed-domain attention tile: scores and the output accumulator
+    live transposed so the PV matmul's tiny head-dim (40/80 for SD-1.5) sits
+    on the M (row) axis instead of the N (lane) axis of the MXU.
+
+    N < 128 pads to 128 lanes and costs full passes (measured: a
+    (4096,8192)x(8192,40) matmul takes exactly as long as x(8192,128)),
+    while M < 128 costs only the actual rows. Computing
+    O^T = V^T @ P^T instead of O = P @ V turns the PV stage from
+    bq x (bk/128) x 1 row-cycles into d x (bk/128) x (bq/128) — a ~2.7x
+    reduction at d=40 — beating the "pad-bound MXU ceiling" of the straight
+    layout. S^T = K Q^T costs the same as S (symmetric)."""
+    if has_bias:
+        q_ref, k_ref, vt_ref, bias_ref, o_ref, m_scratch, l_scratch, acc_scratch = refs
+    else:
+        q_ref, k_ref, vt_ref, o_ref, m_scratch, l_scratch, acc_scratch = refs
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0, 0]  # (bq, D) — pre-scaled by sm_scale * log2(e)
+    k = k_ref[0, 0]  # (bk, D)
+    # S^T tile: (bk, bq)
+    st = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if has_bias:
+        st = st + bias_ref[0].reshape(-1, 1).astype(jnp.float32)  # (bk, 1)
+
+    m_prev = m_scratch[...]  # (1, bq) semantics in (8, bq) scratch
+    l_prev = l_scratch[...]
+    m_curr = jnp.max(st, axis=0, keepdims=True)  # (1, bq)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp2(m_prev - m_next)
+    p = jnp.exp2(st - m_next[:1])
+    l_next = alpha * l_prev + jnp.sum(p, axis=0, keepdims=True)
+    m_scratch[...] = m_next
+    l_scratch[...] = l_next
+
+    vt = vt_ref[0, 0]  # (D, bk)
+    acc_scratch[...] = acc_scratch[...] * alpha[:1] + jax.lax.dot(
+        vt, p.astype(vt.dtype), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kv_idx == num_kv_tiles - 1)
+    def _store():
+        l = l_scratch[...][:1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+
+
 def _pad_to(x: jax.Array, axis: int, multiple: int, value=0.0) -> jax.Array:
     size = x.shape[axis]
     pad = (-size) % multiple
@@ -95,6 +152,87 @@ def _pad_to(x: jax.Array, axis: int, multiple: int, value=0.0) -> jax.Array:
     widths = [(0, 0)] * x.ndim
     widths[axis] = (0, pad)
     return jnp.pad(x, widths, constant_values=value)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def _flash_forward_t(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array],
+    scale: float,
+    block_q: int,
+    block_k: int,
+) -> jax.Array:
+    """Transposed-PV forward (see _attention_kernel_t). Used when the head
+    dim is not a lane multiple (SD-1.5: 40/80/160), where the straight
+    layout's PV matmul pays full 128-lane passes for d useful columns."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+
+    qt = q * jnp.asarray(scale * LOG2E, q.dtype)
+    kt = k
+    vt = jnp.swapaxes(v, 2, 3)  # (B, H, D, Lk) — one XLA transpose, HBM-bound
+
+    block_q = min(block_q, max(LANES, lq))
+    block_k = min(block_k, max(LANES, lk))
+    qt = _pad_to(qt, 2, block_q)
+    kt = _pad_to(kt, 2, block_k)
+    vt = _pad_to(vt, 3, block_k)
+    lq_p, lk_p = qt.shape[2], kt.shape[2]
+
+    has_bias = bias is not None or lk_p != lk
+    if has_bias:
+        full_bias = jnp.zeros((b, lk_p), jnp.float32)
+        if lk_p != lk:
+            pad_mask = jnp.arange(lk_p) >= lk
+            full_bias = jnp.where(pad_mask[None, :], MASK_VALUE, 0.0)
+            full_bias = jnp.broadcast_to(full_bias, (b, lk_p))
+        if bias is not None:
+            user = bias.reshape(b, -1).astype(jnp.float32) * LOG2E
+            full_bias = (
+                full_bias.at[:, :lk].add(user) if lk_p != lk else full_bias + user
+            )
+        # keys on the SUBLANE axis for the transposed kernel: (B, Lk_p, 1)
+        full_bias = full_bias.reshape(b, lk_p, 1)
+
+    num_q_tiles = lq_p // block_q
+    num_kv_tiles = lk_p // block_k
+    grid = (b, h, num_q_tiles, num_kv_tiles)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+        pl.BlockSpec((1, 1, d, block_k), lambda bi, hi, qi, ki: (bi, hi, 0, ki)),
+    ]
+    inputs = [qt, kt, vt]
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec((1, block_k, 1), lambda bi, hi, qi, ki: (bi, ki, 0))
+        )
+        inputs.append(full_bias)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _attention_kernel_t, has_bias=has_bias, num_kv_tiles=num_kv_tiles
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, d, lq_p), v.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, d, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, block_q), jnp.float32),
+            pltpu.VMEM((8, block_q), jnp.float32),
+            pltpu.VMEM((d, block_q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(*inputs)
+
+    return jnp.swapaxes(out, 2, 3)[:, :, :lq, :]
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
@@ -187,16 +325,18 @@ def _xla_reference(q, k, v, bias, scale):
     return out.astype(v.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash(q, k, v, bias, scale, block_q, block_k):
-    return _flash_forward(q, k, v, bias, scale, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash(q, k, v, bias, scale, block_q, block_k, transposed):
+    fwd = _flash_forward_t if transposed else _flash_forward
+    return fwd(q, k, v, bias, scale, block_q, block_k)
 
 
-def _flash_fwd(q, k, v, bias, scale, block_q, block_k):
-    return _flash_forward(q, k, v, bias, scale, block_q, block_k), (q, k, v, bias)
+def _flash_fwd(q, k, v, bias, scale, block_q, block_k, transposed):
+    fwd = _flash_forward_t if transposed else _flash_forward
+    return fwd(q, k, v, bias, scale, block_q, block_k), (q, k, v, bias)
 
 
-def _flash_bwd(scale, block_q, block_k, residuals, g):
+def _flash_bwd(scale, block_q, block_k, transposed, residuals, g):
     # Recompute-based backward through the XLA formulation (identical math).
     q, k, v, bias = residuals
     _, vjp = jax.vjp(lambda q, k, v, b: _xla_reference(q, k, v, b, scale), q, k, v, bias)
@@ -214,15 +354,31 @@ def flash_attention(
     *,
     bias: Optional[jax.Array] = None,
     scale: Optional[float] = None,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
 ) -> jax.Array:
     """Fused attention, heads-major. q: (B, H, Lq, D); k/v: (B, H, Lk, D);
-    bias broadcastable to (B, Lk) (per-key additive logits bias)."""
+    bias broadcastable to (B, Lk) (per-key additive logits bias).
+
+    Default block sizes are measured-on-v5e optima (scripts/microbench_attn2):
+    512x512 ran at 18 TF/s useful on the level-0 spatial shape, 1024x2048 at
+    33 TF/s (the scores tile bq*bk*4B is the VMEM budget: 8 MB; 2048x2048
+    fails to fit). block_k drops to 1024 for d > 64 to leave room for the
+    wider K/V tiles and fp32 accumulator."""
     if scale is None:
         scale = float(q.shape[-1]) ** -0.5
+    d = q.shape[-1]
+    if block_q is None:
+        block_q = 1024
+    if block_k is None:
+        block_k = 2048 if d <= 64 else 1024
+    # Transposed-PV domain pays off whenever d is not a lane multiple
+    # (128): the PV stage then costs d instead of round_up(d,128) rows.
+    transposed = d % LANES != 0
     if bias is not None:
         bias = jnp.broadcast_to(
             bias.reshape(bias.shape[0], -1)[:, -k.shape[2]:], (q.shape[0], k.shape[2])
         )
-    return _flash(q, k, v, bias, float(scale), int(block_q), int(block_k))
+    return _flash(
+        q, k, v, bias, float(scale), int(block_q), int(block_k), bool(transposed)
+    )

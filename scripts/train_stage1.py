@@ -65,7 +65,12 @@ def train_stage1_process(cfg) -> None:
         use_motion_module=False, use_audio_module=False,
         use_inflated_groupnorm=False,
     )
-    models = HalloModels.create(ref_cfg, den_cfg, params={})
+    aux = {}
+    if str(getattr(cfg, "aux_scale", "")) == "tiny":  # tiny integration tests
+        from hallo_tpu.utils.factory import TINY_AUX
+
+        aux = TINY_AUX
+    models = HalloModels.create(ref_cfg, den_cfg, params={}, **aux)
     models.init_params(
         jax.random.PRNGKey(int(cfg.seed)), height=height, width=width,
         clip_length=1, n_motion_frames=0,
@@ -155,7 +160,7 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="configs/train/stage1.yaml")
     args = parser.parse_args()
-    train_stage1_process(cfglib.load_yaml(args.config))
+    train_stage1_process(cfglib.load_config(args.config))
 
 
 if __name__ == "__main__":
