@@ -84,3 +84,27 @@ def test_flash_grad_matches_xla():
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_flash_straight_vs_transposed_paths():
+    """Both kernel domains must agree with the oracle: the transposed-PV
+    domain is auto-selected for d % 128 != 0 (SD-1.5 head dims 40/80/160),
+    the straight one for lane-multiple head dims."""
+    rng = np.random.default_rng(4)
+    from hallo_tpu.ops.pallas_flash import _flash_forward, _flash_forward_t
+
+    b, lq, lk, h = 2, 130, 260, 2
+    for d in (40, 128):
+        q = rng.normal(size=(b, h, lq, d)).astype(np.float32)
+        k = rng.normal(size=(b, h, lk, d)).astype(np.float32)
+        v = rng.normal(size=(b, h, lk, d)).astype(np.float32)
+        bias = np.zeros((b, lk), np.float32)
+        bias[1, 200:] = -1e9
+        want = np.asarray(_ref(q, k, v, bias))
+        for fwd in (_flash_forward, _flash_forward_t):
+            with pltpu.force_tpu_interpret_mode():
+                got = fwd(
+                    jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                    jnp.asarray(bias), float(d) ** -0.5, 128, 128,
+                )
+            np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
