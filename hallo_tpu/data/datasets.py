@@ -144,9 +144,20 @@ def batch_iterator(
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Simple shuffling batch loader (replaces torch DataLoader + DDP
     sampler; under pjit the global batch is sharded on the data axis)."""
+    if len(dataset) == 0:
+        raise ValueError("batch_iterator: empty dataset")
     rng = np.random.default_rng(seed)
     while True:
         order = rng.permutation(len(dataset))
+        if batch_size > len(order):
+            # dataset smaller than the global batch (tiny integration runs,
+            # device-count > clip-count): sample with replacement so at
+            # least one batch is always produced per epoch instead of
+            # spinning forever in an empty range.
+            reps = -(-batch_size // len(order))
+            order = np.concatenate(
+                [order] + [rng.permutation(len(dataset)) for _ in range(reps - 1)]
+            )
         for i in range(0, len(order) - batch_size + 1, batch_size):
             items = [dataset[int(j)] for j in order[i : i + batch_size]]
             batch = {}
