@@ -174,6 +174,7 @@ class AudioTransformerBlock(nn.Module):
     head_dim: int
     hierarchical: bool = True
     upcast_attention: bool = False
+    cfg_split: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -198,43 +199,70 @@ class AudioTransformerBlock(nn.Module):
         )(normed)
 
         normed = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        # cfg_split inference fast path: the CFG-uncond half's audio tokens
+        # are all-zero (face_animate.py:377-378), so to_v(0) = 0 makes every
+        # audio cross-attention output exactly 0 — only the trained BIAS of
+        # the zero-init 1x1 convs (or of attn2's to_out) survives. Run the
+        # branches on the cond half only and add the bias term to the uncond
+        # half; numerically identical to the full computation.
+        half = normed.shape[0] // 2
+        if self.cfg_split:
+            normed_c, audio_c = normed[half:], audio_context[half:]
+        else:
+            normed_c, audio_c = normed, audio_context
         if self.hierarchical:
-            branches = []
-            for name, zero_name, mask in (
+            if motion_scale is None:
+                motion_scale = jnp.ones((3,), jnp.float32)
+            acc_c = None
+            acc_u = None
+            for i, (name, zero_name, mask) in enumerate((
                 ("attn2_0", "zero_conv_full", full_mask),
                 ("attn2_1", "zero_conv_face", face_mask),
                 ("attn2_2", "zero_conv_lip", lip_mask),
-            ):
-                h = CrossAttention(
+            )):
+                attn = CrossAttention(
                     self.heads,
                     self.head_dim,
                     out_dim=c,
                     upcast=self.upcast_attention,
                     dtype=self.dtype,
                     name=name,
-                )(normed, audio_context)
-                if mask is not None:
-                    h = h * mask[:, :, None].astype(h.dtype)
+                )
                 # 1x1 conv over channels == per-token linear.
-                h = Dense(c, dtype=self.dtype, zero_init=True, name=zero_name)(h)
-                branches.append(h)
-            if motion_scale is None:
-                motion_scale = jnp.ones((3,), jnp.float32)
-            x = (
-                x
-                + motion_scale[0] * branches[0]
-                + motion_scale[1] * branches[1]
-                + motion_scale[2] * branches[2]
-            )
+                zero_conv = Dense(c, dtype=self.dtype, zero_init=True, name=zero_name)
+                h = attn(normed_c, audio_c)
+                if mask is not None:
+                    m = mask[half:] if self.cfg_split else mask
+                    h = h * m[:, :, None].astype(h.dtype)
+                h = motion_scale[i] * zero_conv(h)
+                acc_c = h if acc_c is None else acc_c + h
+                if self.cfg_split:
+                    bias_u = zero_conv(jnp.zeros((half, 1, c), h.dtype))
+                    bias_u = motion_scale[i] * bias_u
+                    acc_u = bias_u if acc_u is None else acc_u + bias_u
+            if self.cfg_split:
+                x = jnp.concatenate([x[:half] + acc_u, x[half:] + acc_c], axis=0)
+            else:
+                x = x + acc_c
         else:
-            x = x + CrossAttention(
+            attn2 = CrossAttention(
                 self.heads,
                 self.head_dim,
                 out_dim=c,
                 upcast=self.upcast_attention,
                 dtype=self.dtype,
                 name="attn2",
-            )(normed, audio_context)
+            )
+            out_c = attn2(normed_c, audio_c)
+            if self.cfg_split:
+                da = audio_context.shape[-1]
+                out_u = attn2(
+                    jnp.zeros((half, 1, c), out_c.dtype),
+                    jnp.zeros((half, 1, da), out_c.dtype),
+                )
+                x = jnp.concatenate([x[:half] + out_u, x[half:] + out_c], axis=0)
+            else:
+                x = x + out_c
 
         x = x + FeedForward(c, dtype=self.dtype, name="ff")(
             LayerNorm(dtype=self.dtype, name="norm3")(x)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from hallo_tpu.config import MotionModuleConfig
 from hallo_tpu.models.layers import (
-    CrossAttention,
+    TemporalSelfAttention,
     Dense,
     Dtype,
     FeedForward,
@@ -41,20 +41,19 @@ class TemporalAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, frames: int) -> jax.Array:
-        # x: (B*F, L, C) normed -> (B*L, F, C)
+        # x: (B*F, L, C) normed. View as (B, F, L, C) — contiguous, no copy —
+        # and attend over F in place (see TemporalSelfAttention docstring for
+        # why this beats the reference's (b d) f c rearrange on TPU).
         bf, l, c = x.shape
         b = bf // frames
-        x = x.reshape(b, frames, l, c).transpose(0, 2, 1, 3).reshape(b * l, frames, c)
+        x = x.reshape(b, frames, l, c)
         if self.use_pe:
             pe = sinusoidal_positions(self.max_len, c)[:frames]
-            x = x + pe[None, :, :].astype(x.dtype)
-        out = CrossAttention(
+            x = x + pe[None, :, None, :].astype(x.dtype)
+        out = TemporalSelfAttention(
             self.heads, self.head_dim, out_dim=c, dtype=self.dtype, name="attn"
         )(x)
-        out = (
-            out.reshape(b, l, frames, c).transpose(0, 2, 1, 3).reshape(bf, l, c)
-        )
-        return out
+        return out.reshape(bf, l, c)
 
 
 class MotionModule(nn.Module):

@@ -114,6 +114,7 @@ class AudioTransformer(nn.Module):
     num_layers: int = 1
     norm_num_groups: int = 32
     upcast_attention: bool = False
+    cfg_split: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -142,6 +143,7 @@ class AudioTransformer(nn.Module):
                 self.inner_dim // self.heads,
                 hierarchical=self.hierarchical,
                 upcast_attention=self.upcast_attention,
+                cfg_split=self.cfg_split,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(hs, audio, full_mask, face_mask, lip_mask, motion_scale)

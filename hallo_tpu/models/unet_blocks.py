@@ -104,6 +104,7 @@ class CrossAttnDownBlock(nn.Module):
                     hierarchical=self.hierarchical_audio,
                     norm_num_groups=self.norm_groups,
                     upcast_attention=self.upcast_attention,
+                    cfg_split=self.cfg_split,
                     dtype=self.dtype,
                     name=f"audio_modules_{i}",
                 )(
@@ -211,6 +212,7 @@ class MidBlock(nn.Module):
                 hierarchical=self.hierarchical_audio,
                 norm_num_groups=self.norm_groups,
                 upcast_attention=self.upcast_attention,
+                cfg_split=self.cfg_split,
                 dtype=self.dtype,
                 name="audio_modules_0",
             )(
@@ -295,6 +297,7 @@ class CrossAttnUpBlock(nn.Module):
                     hierarchical=self.hierarchical_audio,
                     norm_num_groups=self.norm_groups,
                     upcast_attention=self.upcast_attention,
+                    cfg_split=self.cfg_split,
                     dtype=self.dtype,
                     name=f"audio_modules_{i}",
                 )(

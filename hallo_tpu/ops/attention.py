@@ -89,13 +89,14 @@ def dot_product_attention(
         scale = float(q.shape[-1]) ** -0.5
     resolved = _resolve_backend(backend)
     if resolved == "pallas":
-        # Measured on v5e: the fused kernel wins for large spatial attention
-        # (and is the only option at 4096x8192, where materializing scores
-        # OOMs), while tiny-KV (audio, 32 tokens) and tiny-seq (temporal,
-        # 16-18 frames over a huge batch) layouts are launch-overhead bound
-        # and faster through plain XLA fusion.
+        # Measured on v5e: the fused kernel wins whenever the query side is
+        # long — large spatial self-attention (where materializing scores
+        # OOMs at 4096x8192) AND small-KV cross-attention (audio 32 tokens,
+        # identity 4 tokens), where the win is skipping the HBM round-trip
+        # of the scores tensor. Tiny-seq layouts (temporal, Lq = 16-18
+        # frames over a huge batch) stay on the dedicated XLA formulation.
         lq, lk = q.shape[2], k.shape[2]
-        if lq >= 256 and lk >= 256:
+        if lq >= 256 and lk >= 4:
             from hallo_tpu.ops import pallas_flash
 
             if bias is not None and bias.ndim == 4 and (

@@ -156,8 +156,12 @@ def test_cfg_split_matches_masked_path(tiny_ref, tiny_denoise):
     motion_feats = jax.tree.map(lambda x: x[:, 1:], split)
 
     sample = jnp.asarray(rng.normal(size=(b, f, hw, hw, 4)).astype(np.float32))
+    # CFG batch contract (face_animate.py:377-378): the uncond half's audio
+    # tokens are zeros — cfg_split relies on it to skip the uncond audio
+    # branches (only the trained zero-conv biases survive).
+    audio_cond = rng.normal(size=(b // 2, f, 3, cfg.audio_attention_dim))
     audio = jnp.asarray(
-        rng.normal(size=(b, f, 3, cfg.audio_attention_dim)).astype(np.float32)
+        np.concatenate([np.zeros_like(audio_cond), audio_cond]).astype(np.float32)
     )
     masks = tuple(
         tuple(jnp.ones((b * f, (hw // 2**d) ** 2)) for _ in range(3)) for d in range(4)
@@ -166,6 +170,16 @@ def test_cfg_split_matches_masked_path(tiny_ref, tiny_denoise):
             masks, jnp.ones(3))
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), *args, jnp.asarray([1.0, 0.0])
+    )
+    # Give the zero-init audio convs non-zero weights/biases (as after
+    # training) so the uncond bias-restoring path is actually exercised.
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, x: (
+            x + 0.01 * np.arange(x.size, dtype=np.float32).reshape(x.shape)
+            if any("zero_conv" in str(k) for k in path)
+            else x
+        ),
+        params,
     )
     masked = jax.jit(lambda p: model.apply(p, *args, jnp.asarray([1.0, 0.0])))(params)
     split_out = jax.jit(lambda p: model.apply(p, *args, None, cfg_split=True))(params)
