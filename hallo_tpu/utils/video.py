@@ -83,6 +83,30 @@ def write_video(
     return path
 
 
+def write_video_grid(
+    videos: np.ndarray, path: str, fps: int = 25, n_rows: int = 2
+) -> str:
+    """videos: (N, T, H, W, 3) in [0,1] -> one tiled grid video
+    (util.py:206-241 save_videos_grid equivalent)."""
+    videos = np.asarray(videos)
+    if videos.dtype != np.uint8:
+        videos = (np.clip(videos, 0, 1) * 255).astype(np.uint8)
+    n, t, h, w, c = videos.shape
+    n_rows = max(1, min(n_rows, n))
+    n_cols = -(-n // n_rows)
+    pad = n_rows * n_cols - n
+    if pad:
+        videos = np.concatenate(
+            [videos, np.zeros((pad, t, h, w, c), np.uint8)], axis=0
+        )
+    grid = (
+        videos.reshape(n_rows, n_cols, t, h, w, c)
+        .transpose(2, 0, 3, 1, 4, 5)
+        .reshape(t, n_rows * h, n_cols * w, c)
+    )
+    return write_video(grid, path, fps=fps)
+
+
 def extract_audio(video_path: str, out_wav: str, sample_rate: int = 16000) -> str:
     """ffmpeg-gated audio extraction (util.py:854-888)."""
     ffmpeg = shutil.which("ffmpeg")

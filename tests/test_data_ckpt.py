@@ -98,3 +98,15 @@ def test_params_export_import(tmp_path):
     ckpt.save_params(path, tree)
     restored = ckpt.load_params(path, jax.tree.map(jnp.zeros_like, tree))
     np.testing.assert_array_equal(np.asarray(restored["a"]), np.ones((4, 4)))
+
+
+def test_write_video_grid(tmp_path):
+    from hallo_tpu.utils.video import read_frames, write_video_grid
+
+    rng = np.random.default_rng(0)
+    videos = rng.uniform(0, 1, (3, 4, 32, 32, 3)).astype(np.float32)
+    path = str(tmp_path / "grid.mp4")
+    write_video_grid(videos, path, fps=5, n_rows=2)
+    frames = read_frames(path)
+    assert len(frames) == 4
+    assert frames[0].shape == (64, 64, 3)  # 2x2 tile grid (one pad slot)
