@@ -369,9 +369,12 @@ def flash_attention(
         scale = float(q.shape[-1]) ** -0.5
     d = q.shape[-1]
     if block_q is None:
-        block_q = 1024
+        block_q = 1024 if d <= 256 else 512
     if block_k is None:
-        block_k = 2048 if d <= 64 else 1024
+        # d > 256 (e.g. the VAE encoder/decoder mid attention, one head of
+        # d=512) needs smaller tiles: at 1024x1024 the fp32 scores + acc +
+        # wide K/V tiles exceed the 16 MB VMEM scoped limit.
+        block_k = 2048 if d <= 64 else (1024 if d <= 256 else 512)
     # Transposed-PV domain pays off whenever d is not a lane multiple
     # (128): the PV stage then costs d instead of round_up(d,128) rows.
     transposed = d % LANES != 0

@@ -100,3 +100,62 @@ def test_train_stage2_two_steps(tmp_path):
     assert metrics and np.isfinite(metrics[0]["loss"])
     assert (exp / "checkpoint-2").is_dir()
     assert (exp / "final_net").is_dir()
+
+
+@pytest.mark.slow
+def test_train_stage1_two_steps_and_resume(tmp_path):
+    """Stage-1 spatial trainer through the real script process function,
+    plus checkpoint-resume: 2 steps -> checkpoint -> 2 more from 'latest'."""
+    from hallo_tpu.config import DotDict
+    from scripts.train_stage1 import train_stage1_process
+
+    meta = _write_dataset(tmp_path, n_clips=2, t=8, h=64)
+
+    def cfg(max_steps, resume):
+        return DotDict.wrap(
+            dict(
+                exp_name="t1",
+                output_dir=str(tmp_path / "exp"),
+                seed=0,
+                aux_scale="tiny",
+                data=dict(
+                    train_bs=1,
+                    train_width=64,
+                    train_height=64,
+                    sample_margin=2,
+                    meta_paths=[meta],
+                ),
+                solver=dict(
+                    learning_rate=1e-4, max_train_steps=max_steps, max_grad_norm=1.0
+                ),
+                uncond_ratio=0.1,
+                noise_offset=0.05,
+                snr_gamma=5.0,
+                log_every=1,
+                unet_additional_kwargs=dict(
+                    block_out_channels=[8, 16, 16, 16],
+                    layers_per_block=1,
+                    num_attention_heads=2,
+                    cross_attention_dim=12,
+                    norm_num_groups=4,
+                ),
+                base_model_path=str(tmp_path / "nonexistent"),
+                vae_model_path=str(tmp_path / "nonexistent"),
+                checkpointing_steps=2,
+                resume_from_checkpoint=resume,
+            )
+        )
+
+    train_stage1_process(cfg(2, ""))
+    exp = tmp_path / "exp" / "t1"
+    assert (exp / "checkpoint-2").is_dir()
+    train_stage1_process(cfg(4, "latest"))  # resumes at step 2
+
+    metrics = [json.loads(l) for l in open(exp / "metrics.jsonl")]
+    steps = [m["step"] for m in metrics]
+    # run 1 logs steps 0,1; the resumed run continues at 2 (a restart from
+    # scratch would log 0,1 again)
+    assert steps == [0, 1, 2, 3], steps
+    assert all(np.isfinite(m["loss"]) for m in metrics)
+    for name in ("reference_net", "denoising_net", "face_locator", "image_proj"):
+        assert (exp / f"final_{name}").is_dir()
