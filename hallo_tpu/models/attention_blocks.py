@@ -234,11 +234,16 @@ class AudioTransformerBlock(nn.Module):
                 if mask is not None:
                     m = mask[half:] if self.cfg_split else mask
                     h = h * m[:, :, None].astype(h.dtype)
-                h = motion_scale[i] * zero_conv(h)
+                # NOTE: cast the scale to h.dtype — motion_scale arrives as a
+                # concrete f32 array, and f32-scalar * bf16 promotes the whole
+                # residual stream to f32 (xprof: ~68 ms/step of HBM-bound
+                # fusions re-reading f32 (B*F, H*W, C) tensors at level 0).
+                scale_i = motion_scale[i].astype(h.dtype)
+                h = scale_i * zero_conv(h)
                 acc_c = h if acc_c is None else acc_c + h
                 if self.cfg_split:
                     bias_u = zero_conv(jnp.zeros((half, 1, c), h.dtype))
-                    bias_u = motion_scale[i] * bias_u
+                    bias_u = scale_i * bias_u
                     acc_u = bias_u if acc_u is None else acc_u + bias_u
             if self.cfg_split:
                 x = jnp.concatenate([x[:half] + acc_u, x[half:] + acc_c], axis=0)

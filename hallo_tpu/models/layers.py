@@ -28,6 +28,7 @@ def group_norm(
     bias: jax.Array,
     num_groups: int,
     eps: float,
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     """GroupNorm over all non-batch axes, channels-last, stats in fp32.
 
@@ -35,6 +36,11 @@ def group_norm(
     pass (B*F, H, W, C) for per-frame GroupNorm (torch nn.GroupNorm on folded
     frames) or (B, F, H, W, C) for "inflated" GroupNorm whose stats span
     (F, H, W) (reference: hallo/models/resnet.py:69-101).
+
+    With `axis_name` (inside shard_map), the moment sums are psum-reduced
+    over that mesh axis so statistics span the device-sharded extent too —
+    the clip-parallel path shards frames while inflated-GN stats must cover
+    the whole clip.
 
     TPU layout note: the big-tensor passes keep C as the minor (lane) dim —
     per-channel sum/sum-of-squares, then the tiny (B, C) stats are regrouped.
@@ -52,6 +58,9 @@ def group_norm(
     x32 = xf.astype(jnp.float32)
     s1 = jnp.sum(x32, axis=1)  # (B, C)
     s2 = jnp.sum(jnp.square(x32), axis=1)  # (B, C)
+    if axis_name is not None:
+        s1, s2 = jax.lax.psum((s1, s2), axis_name)
+        n = n * jax.lax.psum(1, axis_name)
     denom = float(n * cg)
     mean_g = jnp.sum(s1.reshape(b, g, cg), axis=-1) / denom  # (B, G)
     ex2_g = jnp.sum(s2.reshape(b, g, cg), axis=-1) / denom
@@ -69,13 +78,16 @@ def group_norm(
 class GroupNorm(nn.Module):
     num_groups: int = 32
     eps: float = 1e-5
+    axis_name: Optional[str] = None  # psum moments over this mesh axis
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return group_norm(x, scale, bias, self.num_groups, self.eps)
+        return group_norm(
+            x, scale, bias, self.num_groups, self.eps, axis_name=self.axis_name
+        )
 
 
 class LayerNorm(nn.Module):

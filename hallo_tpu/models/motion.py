@@ -6,6 +6,15 @@ time axis per spatial location: (B*F, L, C) -> (B*L, F, C) with a sinusoidal
 positional encoding added to the normed sequence (motion_module.py:579-607).
 proj_out is zero-initialized so a freshly-added module is the identity
 (motion_module.py:169-172).
+
+Clip parallelism (`seq_axis`, inside shard_map): every other op in the UNet
+is frame-local, so the clip shards over frames across devices; only this
+module crosses frames. The Ulysses-style reshard lives HERE, after the
+per-frame GN + proj_in (both frame-local, and proj_in shrinks channels by
+`temporal_attention_dim_div` first, halving the bytes on the wire):
+all_to_all frames<->sites, attend over the full clip per site shard, then
+all_to_all back. ReferenceNet motion-frame features concatenate on the time
+axis in the full-frames/sharded-sites layout, sliced per device.
 """
 
 from __future__ import annotations
@@ -24,9 +33,7 @@ from hallo_tpu.models.layers import (
     FeedForward,
     GroupNorm,
     LayerNorm,
-    fold_time,
     sinusoidal_positions,
-    unfold_time,
 )
 
 
@@ -40,20 +47,22 @@ class TemporalAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, frames: int) -> jax.Array:
-        # x: (B*F, L, C) normed. View as (B, F, L, C) — contiguous, no copy —
-        # and attend over F in place (see TemporalSelfAttention docstring for
-        # why this beats the reference's (b d) f c rearrange on TPU).
-        bf, l, c = x.shape
-        b = bf // frames
-        x = x.reshape(b, frames, l, c)
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: (B, T, L, C) normed; attend over T in place (see
+        # TemporalSelfAttention docstring for why this beats the reference's
+        # (b d) f c rearrange on TPU).
+        t, c = x.shape[1], x.shape[-1]
         if self.use_pe:
-            pe = sinusoidal_positions(self.max_len, c)[:frames]
+            assert t <= self.max_len, (
+                f"temporal PE max_len={self.max_len} < sequence length {t} "
+                "(clip frames + motion frames); raise "
+                "temporal_position_encoding_max_len"
+            )
+            pe = sinusoidal_positions(self.max_len, c)[:t]
             x = x + pe[None, :, None, :].astype(x.dtype)
-        out = TemporalSelfAttention(
+        return TemporalSelfAttention(
             self.heads, self.head_dim, out_dim=c, dtype=self.dtype, name="attn"
         )(x)
-        return out.reshape(bf, l, c)
 
 
 class MotionModule(nn.Module):
@@ -63,18 +72,53 @@ class MotionModule(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        # x: (B, F, H, W, C) — F may include prepended motion frames.
+    def __call__(
+        self,
+        x: jax.Array,
+        motion_feats: Optional[jax.Array] = None,
+        seq_axis: Optional[str] = None,
+    ) -> jax.Array:
+        # x: (B, F, H, W, C) — F is the LOCAL frame count when seq_axis is
+        # set (clip parallelism inside shard_map). motion_feats: (B, M, L, C)
+        # per-site ReferenceNet motion-frame features (replicated across the
+        # seq mesh axis), concatenated ahead of the clip on the time axis and
+        # sliced off after (reference unet_3d_blocks.py:477-490).
         cfg = self.config
+        if motion_feats is not None and motion_feats.shape[1] == 0:
+            # stage-2 "start_ratio" batches carry zero motion frames
+            # (train_stage2.py:799-805); an empty prep() would hit 0-size
+            # GroupNorm batches.
+            motion_feats = None
         b, f, h, w, c = x.shape
+        l = h * w
         heads = cfg.num_attention_heads
         head_dim = c // heads // cfg.temporal_attention_dim_div
 
-        x2, _ = fold_time(x)
-        residual = x2
-        hs = GroupNorm(cfg.norm_num_groups, 1e-6, name="norm")(x2)
-        hs = hs.reshape(b * f, h * w, c)
-        hs = Dense(heads * head_dim, dtype=self.dtype, name="proj_in")(hs)
+        norm = GroupNorm(cfg.norm_num_groups, 1e-6, name="norm")
+        proj_in = Dense(heads * head_dim, dtype=self.dtype, name="proj_in")
+
+        def prep(z: jax.Array) -> jax.Array:
+            # (B, T, L, C): per-frame GN (stats over L x C/G) + proj_in.
+            zn = norm(z.reshape(b * z.shape[1], l, c)).reshape(z.shape)
+            return proj_in(zn)
+
+        residual = x.reshape(b, f, l, c)
+        hs = prep(residual)
+        m = 0 if motion_feats is None else motion_feats.shape[1]
+        if motion_feats is not None:
+            mf = prep(motion_feats.astype(x.dtype))
+        if seq_axis is not None:
+            # frames-sharded -> sites-sharded: (B, f, L, C') -> (B, f*n, L/n, C')
+            hs = jax.lax.all_to_all(
+                hs, seq_axis, split_axis=2, concat_axis=1, tiled=True
+            )
+            if motion_feats is not None:
+                n_dev = jax.lax.psum(1, seq_axis)
+                l_loc = mf.shape[2] // n_dev
+                idx = jax.lax.axis_index(seq_axis)
+                mf = jax.lax.dynamic_slice_in_dim(mf, idx * l_loc, l_loc, axis=2)
+        if motion_feats is not None:
+            hs = jnp.concatenate([mf, hs], axis=1)
 
         for i in range(cfg.num_transformer_block):
             for j, block_type in enumerate(cfg.attention_block_types):
@@ -87,11 +131,17 @@ class MotionModule(nn.Module):
                     use_pe=cfg.temporal_position_encoding,
                     dtype=self.dtype,
                     name=f"blocks_{i}_attn_{j}",
-                )(normed, f)
+                )(normed)
             hs = hs + FeedForward(hs.shape[-1], dtype=self.dtype, name=f"blocks_{i}_ff")(
                 LayerNorm(dtype=self.dtype, name=f"blocks_{i}_ff_norm")(hs)
             )
 
+        if motion_feats is not None:
+            hs = hs[:, m:]
+        if seq_axis is not None:
+            # sites-sharded -> frames-sharded: (B, f*n, L/n, C') -> (B, f, L, C')
+            hs = jax.lax.all_to_all(
+                hs, seq_axis, split_axis=1, concat_axis=2, tiled=True
+            )
         hs = Dense(c, dtype=self.dtype, zero_init=True, name="proj_out")(hs)
-        hs = hs.reshape(b * f, h, w, c) + residual
-        return unfold_time(hs, f)
+        return (hs + residual).reshape(b, f, h, w, c)

@@ -67,7 +67,15 @@ class ResnetBlock(nn.Module):
     groups: int = 32
     eps: float = 1e-6
     inflated_groupnorm: bool = True
+    # Clip parallelism: inflated-GN stats span frames, so with frames sharded
+    # over this mesh axis the moment sums psum across it (per-frame GN stays
+    # local — its stats never cross the sharded axis).
+    seq_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
+
+    def _norm_module(self, name: str) -> GroupNorm:
+        axis = self.seq_axis if self.inflated_groupnorm else None
+        return GroupNorm(self.groups, self.eps, axis_name=axis, name=name)
 
     def _norm(self, x: jax.Array, norm: GroupNorm) -> jax.Array:
         if self.inflated_groupnorm:
@@ -78,7 +86,7 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, temb: Optional[jax.Array] = None) -> jax.Array:
         in_channels = x.shape[-1]
-        h = self._norm(x, GroupNorm(self.groups, self.eps, name="norm1"))
+        h = self._norm(x, self._norm_module("norm1"))
         h = nn.silu(h)
         h2, f = fold_time(h)
         h2 = Conv(self.out_channels, dtype=self.dtype, name="conv1")(h2)
@@ -90,7 +98,7 @@ class ResnetBlock(nn.Module):
             )
             h = h + t[:, None, None, None, :]
 
-        h = self._norm(h, GroupNorm(self.groups, self.eps, name="norm2"))
+        h = self._norm(h, self._norm_module("norm2"))
         h = nn.silu(h)
         h2, f = fold_time(h)
         h2 = Conv(self.out_channels, dtype=self.dtype, name="conv2")(h2)

@@ -31,16 +31,18 @@ def fuse_motion_frames(
     motion_module: MotionModule,
     x: jax.Array,
     motion_feature: Optional[jax.Array],
+    seq_axis: Optional[str] = None,
 ) -> jax.Array:
-    """Concat ReferenceNet motion-frame features on the time axis, run the
-    temporal module, slice them back off (unet_3d_blocks.py:477-490)."""
-    if motion_feature is None:
-        return motion_module(x)
+    """Run the temporal module with ReferenceNet motion-frame features
+    concatenated on the time axis and sliced back off
+    (unet_3d_blocks.py:477-490); the concat/slice (and the clip-parallel
+    frame<->site reshard) live inside MotionModule."""
     b, f, h, w, c = x.shape
-    m = motion_feature.shape[1]
-    mf = motion_feature.reshape(b, m, h, w, c).astype(x.dtype)
-    out = motion_module(jnp.concatenate([mf, x], axis=1))
-    return out[:, m:]
+    mf = None
+    if motion_feature is not None:
+        m = motion_feature.shape[1]
+        mf = motion_feature.reshape(b, m, h * w, c)
+    return motion_module(x, mf, seq_axis)
 
 
 class CrossAttnDownBlock(nn.Module):
@@ -58,6 +60,7 @@ class CrossAttnDownBlock(nn.Module):
     upcast_attention: bool = False
     cfg_split: bool = False
     fuse_motion: bool = False
+    seq_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -80,6 +83,7 @@ class CrossAttnDownBlock(nn.Module):
                 groups=self.norm_groups,
                 eps=self.resnet_eps,
                 inflated_groupnorm=self.inflated_groupnorm,
+                seq_axis=self.seq_axis,
                 dtype=self.dtype,
                 name=f"resnets_{i}",
             )(x, temb)
@@ -118,7 +122,8 @@ class CrossAttnDownBlock(nn.Module):
                     self.motion_config, dtype=self.dtype, name=f"motion_modules_{i}"
                 )
                 x = fuse_motion_frames(
-                    mm, x, motion_features[i] if self.fuse_motion else None
+                    mm, x, motion_features[i] if self.fuse_motion else None,
+                    self.seq_axis,
                 )
             states.append(x)
         if self.add_downsample:
@@ -135,6 +140,7 @@ class DownBlock(nn.Module):
     add_downsample: bool
     num_layers: int = 2
     motion_config: Optional[MotionModuleConfig] = None
+    seq_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -146,13 +152,14 @@ class DownBlock(nn.Module):
                 groups=self.norm_groups,
                 eps=self.resnet_eps,
                 inflated_groupnorm=self.inflated_groupnorm,
+                seq_axis=self.seq_axis,
                 dtype=self.dtype,
                 name=f"resnets_{i}",
             )(x, temb)
             if self.motion_config is not None:
                 x = MotionModule(
                     self.motion_config, dtype=self.dtype, name=f"motion_modules_{i}"
-                )(x)
+                )(x, None, self.seq_axis)
             states.append(x)
         if self.add_downsample:
             x = Downsample(self.out_channels, dtype=self.dtype, name="downsamplers_0")(x)
@@ -173,6 +180,7 @@ class MidBlock(nn.Module):
     upcast_attention: bool = False
     cfg_split: bool = False
     fuse_motion: bool = True
+    seq_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -193,6 +201,7 @@ class MidBlock(nn.Module):
             groups=self.norm_groups,
             eps=self.resnet_eps,
             inflated_groupnorm=self.inflated_groupnorm,
+            seq_axis=self.seq_axis,
             dtype=self.dtype,
             name="resnets_0",
         )(x, temb)
@@ -226,13 +235,15 @@ class MidBlock(nn.Module):
                 self.motion_config, dtype=self.dtype, name="motion_modules_0"
             )
             x = fuse_motion_frames(
-                mm, x, motion_features[0] if self.fuse_motion else None
+                mm, x, motion_features[0] if self.fuse_motion else None,
+                self.seq_axis,
             )
         x = ResnetBlock(
             self.channels,
             groups=self.norm_groups,
             eps=self.resnet_eps,
             inflated_groupnorm=self.inflated_groupnorm,
+            seq_axis=self.seq_axis,
             dtype=self.dtype,
             name="resnets_1",
         )(x, temb)
@@ -254,6 +265,7 @@ class CrossAttnUpBlock(nn.Module):
     upcast_attention: bool = False
     cfg_split: bool = False
     fuse_motion: bool = False
+    seq_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -278,6 +290,7 @@ class CrossAttnUpBlock(nn.Module):
                 groups=self.norm_groups,
                 eps=self.resnet_eps,
                 inflated_groupnorm=self.inflated_groupnorm,
+                seq_axis=self.seq_axis,
                 dtype=self.dtype,
                 name=f"resnets_{i}",
             )(x, temb)
@@ -311,7 +324,8 @@ class CrossAttnUpBlock(nn.Module):
                     self.motion_config, dtype=self.dtype, name=f"motion_modules_{i}"
                 )
                 x = fuse_motion_frames(
-                    mm, x, motion_features[i] if self.fuse_motion else None
+                    mm, x, motion_features[i] if self.fuse_motion else None,
+                    self.seq_axis,
                 )
         if self.add_upsample:
             x = Upsample(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
@@ -326,6 +340,7 @@ class UpBlock(nn.Module):
     add_upsample: bool
     num_layers: int = 3
     motion_config: Optional[MotionModuleConfig] = None
+    seq_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -338,13 +353,14 @@ class UpBlock(nn.Module):
                 groups=self.norm_groups,
                 eps=self.resnet_eps,
                 inflated_groupnorm=self.inflated_groupnorm,
+                seq_axis=self.seq_axis,
                 dtype=self.dtype,
                 name=f"resnets_{i}",
             )(x, temb)
             if self.motion_config is not None:
                 x = MotionModule(
                     self.motion_config, dtype=self.dtype, name=f"motion_modules_{i}"
-                )(x)
+                )(x, None, self.seq_axis)
         if self.add_upsample:
             x = Upsample(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
         return x

@@ -65,6 +65,7 @@ class DenoisingUNet(nn.Module):
         uncond_mask: Optional[jax.Array] = None,
         train: bool = False,
         cfg_split: bool = False,
+        seq_axis: Optional[str] = None,
     ) -> jax.Array:
         """Predict v / epsilon for a noisy latent video.
 
@@ -85,6 +86,12 @@ class DenoisingUNet(nn.Module):
           cfg_split: static inference fast path — the batch is the CFG
             layout [uncond B/2 | cond B/2]; the uncond half runs plain
             self-attention (half the KV) instead of bias-masked attention.
+          seq_axis: clip parallelism (inside shard_map): F is the per-device
+            frame shard; temporal modules all_to_all frames<->sites and
+            inflated GroupNorms psum their moments over this mesh axis.
+            Frame-local inputs (sample, audio_context, face_cond, masks)
+            carry the local frame count; ref/motion features and context
+            are replicated.
         """
         cfg = self.config
         b, f = sample.shape[0], sample.shape[1]
@@ -170,6 +177,7 @@ class DenoisingUNet(nn.Module):
                     upcast_attention=cfg.upcast_attention,
                     cfg_split=cfg_split,
                     fuse_motion=fuse_at("down"),
+                    seq_axis=seq_axis,
                     dtype=self.dtype,
                     name=f"down_blocks_{i}",
                 )(
@@ -192,6 +200,7 @@ class DenoisingUNet(nn.Module):
                     add_downsample=not is_final,
                     num_layers=cfg.layers_per_block,
                     motion_config=mm if use_mm else None,
+                    seq_axis=seq_axis,
                     dtype=self.dtype,
                     name=f"down_blocks_{i}",
                 )(x, temb)
@@ -211,6 +220,7 @@ class DenoisingUNet(nn.Module):
             upcast_attention=cfg.upcast_attention,
             cfg_split=cfg_split,
             fuse_motion=fuse_at("mid"),
+            seq_axis=seq_axis,
             dtype=self.dtype,
             name="mid_block",
         )(
@@ -251,6 +261,7 @@ class DenoisingUNet(nn.Module):
                     upcast_attention=cfg.upcast_attention,
                     cfg_split=cfg_split,
                     fuse_motion=fuse_at("up"),
+                    seq_axis=seq_axis,
                     dtype=self.dtype,
                     name=f"up_blocks_{i}",
                 )(
@@ -274,13 +285,17 @@ class DenoisingUNet(nn.Module):
                     add_upsample=not is_final,
                     num_layers=n_layers_up,
                     motion_config=mm if use_mm else None,
+                    seq_axis=seq_axis,
                     dtype=self.dtype,
                     name=f"up_blocks_{i}",
                 )(x, block_skips, temb)
 
         # --- out ---
         if cfg.use_inflated_groupnorm:
-            x = GroupNorm(cfg.norm_num_groups, cfg.norm_eps, name="conv_norm_out")(x)
+            x = GroupNorm(
+                cfg.norm_num_groups, cfg.norm_eps, axis_name=seq_axis,
+                name="conv_norm_out",
+            )(x)
         else:
             x2, _ = fold_time(x)
             x2 = GroupNorm(cfg.norm_num_groups, cfg.norm_eps, name="conv_norm_out")(x2)

@@ -99,7 +99,17 @@ struct Prefetcher {
       Item item = read_file(path, idx);
 
       std::unique_lock<std::mutex> lock(mu);
-      cv_space.wait(lock, [&] { return ready.size() < capacity || stop.load(); });
+      // Admission by index window, not just occupancy: the consumer drains
+      // strictly in order, so a full ring of indices > next_consume would
+      // deadlock against the producer holding exactly next_consume
+      // (capacity < workers makes this reachable). Indices are distinct, so
+      // "index within [next_consume, next_consume + capacity)" also implies
+      // there is room the moment the window admits us.
+      cv_space.wait(lock, [&] {
+        return stop.load() ||
+               (item.index < next_consume + static_cast<long>(capacity) &&
+                ready.size() < capacity);
+      });
       if (stop.load()) {
         std::free(item.data);
         return;

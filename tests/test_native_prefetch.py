@@ -26,6 +26,23 @@ def test_prefetch_order_and_content(tmp_path):
         assert blob == bytes([i]) * (i + 1) * 100
 
 
+def test_prefetch_capacity_smaller_than_workers(tmp_path):
+    """Regression: with workers > capacity, racing producers could fill the
+    ring with out-of-order indices while the producer holding the index the
+    consumer needs blocked on ring space — deadlock. Admission is now gated
+    on the consume-index window."""
+    paths = []
+    for i in range(64):
+        p = tmp_path / f"s{i}.bin"
+        p.write_bytes(bytes([i]) * (1 + (i * 37) % 300))
+        paths.append(str(p))
+    for _ in range(3):  # scheduling-dependent: a few rounds raise exposure
+        pf = FilePrefetcher(paths, capacity=1, workers=4)
+        got = list(pf)
+        pf.close()
+        assert [len(b) for b in got] == [1 + (i * 37) % 300 for i in range(64)]
+
+
 def test_prefetch_loop(tmp_path):
     p = tmp_path / "x.bin"
     p.write_bytes(b"abc")
