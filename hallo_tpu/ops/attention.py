@@ -104,5 +104,11 @@ def dot_product_attention(
             ):
                 return _xla_attention(q, k, v, bias, scale)  # general bias
             flat_bias = None if bias is None else bias.reshape(bias.shape[0], -1)
-            return pallas_flash.flash_attention(q, k, v, bias=flat_bias, scale=scale)
+            # HALLO_INT8_ATTN=1: int8 QK^T scores for the long spatial
+            # layouts (2x MXU rate; ~0.5% score error — LPIPS-level parity,
+            # not bitwise). Off by default.
+            quant = "int8" if os.environ.get("HALLO_INT8_ATTN") == "1" else None
+            return pallas_flash.flash_attention(
+                q, k, v, bias=flat_bias, scale=scale, quant=quant
+            )
     return _xla_attention(q, k, v, bias, scale)

@@ -40,15 +40,21 @@ def maybe_initialize_distributed() -> bool:
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
+    n_seq: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Create a ("data", "model") mesh. With n_model=1 this is pure DP."""
+    """Create a ("data", "seq", "model") mesh. With n_seq=n_model=1 this is
+    pure DP. "seq" is clip parallelism: the 16-frame window sharded over
+    devices (models/motion.py all_to_all + GroupNorm psum); it is the inner
+    (fastest-ICI) axis after "model" since its collectives run every motion
+    module."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_model
-    assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
-    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
-    return Mesh(grid, axis_names=("data", "model"))
+        n_data = len(devices) // (n_model * n_seq)
+    total = n_data * n_model * n_seq
+    assert total <= len(devices), (n_data, n_seq, n_model, len(devices))
+    grid = np.asarray(devices[:total]).reshape(n_data, n_seq, n_model)
+    return Mesh(grid, axis_names=("data", "seq", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -61,6 +61,9 @@ def make_train_step(
     models: HalloModels,
     tx: optax.GradientTransformation,
     cfg: TrainConfig = TrainConfig(),
+    mesh: Optional[jax.sharding.Mesh] = None,
+    seq_axis: str = "seq",
+    data_axis: str = "data",
 ) -> Callable[[TrainState, Dict[str, jax.Array], jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the jittable (state, batch, rng) -> (state, metrics) step.
 
@@ -70,11 +73,19 @@ def make_train_step(
       face_emb (B,512), face_region (B,H,W,3),
       masks: 4-tuple of (full, face, lip) each (B, L_d)
     Stage 1 uses F=1, no motion_pixels/audio_windows/masks.
+    Optional deterministic overrides: "noise" (lat-shaped) and
+    "timesteps" (B,) replace the sampled values (tests, bitwise resume).
+
+    With `mesh` whose seq axis is >1, the fwd+bwd runs inside shard_map
+    over (data, seq): batch sharded on data, frames (pixel_values /
+    audio_windows / noise) additionally sharded on seq (clip parallelism
+    through the denoiser's motion modules), loss/grads pmean'd over both.
+    Without a mesh, data parallelism comes from GSPMD autosharding.
     """
     alphas = jnp.asarray(schedule.alphas_cumprod(cfg.scheduler))
     pred_type = cfg.scheduler.prediction_type
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, batch, rng, seq_ax=None):
         m = models
         pixels = batch["pixel_values"]
         b, f = pixels.shape[0], pixels.shape[1]
@@ -87,12 +98,25 @@ def make_train_step(
             method=m.vae.encode_mean,
         )
         lat = lat.reshape((b, f) + lat.shape[1:])
-        noise = jax.random.normal(r_noise, lat.shape, jnp.float32)
-        if cfg.noise_offset > 0:
-            noise = noise + cfg.noise_offset * jax.random.normal(
-                r_off, (b, 1, 1, 1, lat.shape[-1]), jnp.float32
+        if "noise" in batch:
+            noise = batch["noise"].astype(jnp.float32)
+        else:
+            if seq_ax is not None:
+                # iid per-frame noise across the seq shards; sample-level
+                # draws below stay on the unfolded keys so they agree
+                # across the seq axis.
+                r_noise = jax.random.fold_in(r_noise, jax.lax.axis_index(seq_ax))
+            noise = jax.random.normal(r_noise, lat.shape, jnp.float32)
+            if cfg.noise_offset > 0:
+                noise = noise + cfg.noise_offset * jax.random.normal(
+                    r_off, (b, 1, 1, 1, lat.shape[-1]), jnp.float32
+                )
+        if "timesteps" in batch:
+            t = batch["timesteps"]
+        else:
+            t = jax.random.randint(
+                r_t, (b,), 0, cfg.scheduler.num_train_timesteps
             )
-        t = jax.random.randint(r_t, (b,), 0, cfg.scheduler.num_train_timesteps)
         noisy = ddim.add_noise(alphas, lat, noise, t[:, None, None, None, None])
 
         # --- per-step conditioning dropouts (train_stage2.py:795-805) ---
@@ -166,6 +190,7 @@ def make_train_step(
             jnp.ones(3),
             uncond_mask,
             train=True,
+            seq_axis=seq_ax,
         )
 
         if pred_type == "v_prediction":
@@ -184,8 +209,56 @@ def make_train_step(
             )
         return jnp.mean(per_sample)
 
+    use_seq = mesh is not None and mesh.shape.get(seq_axis, 1) > 1
+    if use_seq:
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            from jax import shard_map
+        except ImportError:  # jax < 0.8
+            from jax.experimental.shard_map import shard_map
+
+        d, s = data_axis, seq_axis
+        # Frame-axis tensors shard on (data, seq); per-sample tensors on data.
+        key_spec = {
+            "pixel_values": P(d, s),
+            "audio_windows": P(d, s),
+            "noise": P(d, s),
+            "ref_pixels": P(d),
+            "motion_pixels": P(d),
+            "face_emb": P(d),
+            "face_region": P(d),
+            "timesteps": P(d),
+            "masks": P(d),
+        }
+
+        def value_and_grad(params, batch, rng):
+            def local(p_, b_, r_):
+                # Differentiate the pmean'd GLOBAL loss: grads of replicated
+                # params through a replicated scalar are the true gradient on
+                # every device, regardless of how shard_map transposes
+                # collectives (differentiating the LOCAL loss and pmean-ing
+                # after gives n_devices-times-too-large grads — jax's vma
+                # tracking already psums cotangents of unvarying inputs).
+                def global_loss(p__):
+                    return jax.lax.pmean(loss_fn(p__, b_, r_, s), (d, s))
+
+                return jax.value_and_grad(global_loss)(p_)
+
+            specs = {k: key_spec[k] for k in batch}
+            fn = shard_map(
+                local, mesh=mesh, in_specs=(P(), specs, P()),
+                out_specs=(P(), P()),
+            )
+            return fn(params, batch, rng)
+
+    else:
+
+        def value_and_grad(params, batch, rng):
+            return jax.value_and_grad(loss_fn)(params, batch, rng)
+
     def train_step(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        loss, grads = value_and_grad(state.params, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         grad_norm = optax.global_norm(grads)

@@ -176,3 +176,77 @@ def test_denoiser_clip_parallel_matches_unsharded():
     )
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5, rtol=5e-5)
+
+
+def test_train_step_seq_parallel_matches_dp():
+    """Stage-2 train step under the ("data","seq") shard_map path must give
+    the same loss and gradients as the unsharded oracle when noise and
+    timesteps are overridden deterministically."""
+    import optax
+
+    from hallo_tpu.parallel.mesh import make_mesh
+    from hallo_tpu.train.state import (
+        OptimizerConfig, TrainState, label_params, make_optimizer,
+        stage2_trainable,
+    )
+    from hallo_tpu.train.step import TrainConfig, make_train_step
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+
+    h = w = 128  # deepest mask level must split over the seq shards
+    f, m = 2, 2
+    b = 2
+    models = build_models(
+        "tiny", init_key=jax.random.PRNGKey(0), height=h, width=w,
+        clip_length=f, n_motion_frames=m,
+    )
+    labels = label_params(models.params, stage2_trainable)
+    tx = make_optimizer(OptimizerConfig(), labels)
+    state = TrainState.create(models.params, tx)
+    tc = TrainConfig(stage=2, noise_offset=0.0)
+
+    rng = np.random.default_rng(5)
+    hl = h // 8
+    ap = models.audio_proj.config
+    ip = models.image_proj.config
+    batch = dict(
+        pixel_values=rng.uniform(-1, 1, (b, f, h, w, 3)).astype(np.float32),
+        ref_pixels=rng.uniform(-1, 1, (b, h, w, 3)).astype(np.float32),
+        motion_pixels=rng.uniform(-1, 1, (b, m, h, w, 3)).astype(np.float32),
+        audio_windows=rng.normal(
+            size=(b, f, ap.seq_len, ap.blocks, ap.channels)
+        ).astype(np.float32),
+        face_emb=rng.normal(size=(b, ip.clip_embeddings_dim)).astype(np.float32),
+        face_region=np.ones((b, h, w, 3), np.float32),
+        masks=tuple(
+            tuple(np.ones((b, (hl // 2**d) ** 2), np.float32) for _ in range(3))
+            for d in range(4)
+        ),
+        noise=rng.standard_normal((b, f, hl, hl, 4)).astype(np.float32),
+        timesteps=np.asarray([300, 700], np.int64),
+    )
+    key = jax.random.PRNGKey(3)
+
+    oracle_step = make_train_step(models, tx, tc)
+    want_state, want_metrics = jax.jit(oracle_step)(state, batch, key)
+
+    mesh = make_mesh(n_data=2, n_seq=2)
+    sp_step = make_train_step(models, tx, tc, mesh=mesh)
+    with mesh:
+        got_state, got_metrics = jax.jit(sp_step)(state, batch, key)
+
+    np.testing.assert_allclose(
+        float(got_metrics["loss"]), float(want_metrics["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(got_metrics["grad_norm"]), float(want_metrics["grad_norm"]),
+        rtol=1e-3,  # fp32 reduction-order noise across the sharded backward
+    )
+    # updated params match on a trainable (motion/audio) leaf
+    flat_w = jax.tree.leaves(want_state.params["denoising_net"])
+    flat_g = jax.tree.leaves(got_state.params["denoising_net"])
+    for a, bb in zip(flat_g[:20], flat_w[:20]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), atol=1e-5, rtol=1e-4
+        )

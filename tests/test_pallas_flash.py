@@ -108,3 +108,46 @@ def test_flash_straight_vs_transposed_paths():
                     jnp.asarray(bias), float(d) ** -0.5, 128, 128,
                 )
             np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_flash_int8_scores_close_to_oracle():
+    """int8 QK^T (quant="int8", transposed domain): scores carry quantization
+    error, so parity is statistical — relative Frobenius error under 1% and
+    max elementwise error well under bf16-scale."""
+    from hallo_tpu.ops.pallas_flash import _flash_forward_t_q8, _xla_reference
+
+    rng = np.random.default_rng(11)
+    b, h, lq, lk, d = 2, 2, 256, 1024, 40
+    q = jnp.asarray(rng.normal(size=(b, h, lq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, lk, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, lk, d)), jnp.float32)
+    scale = d ** -0.5
+    with pltpu.force_tpu_interpret_mode():
+        got = _flash_forward_t_q8(q, k, v, None, scale, 256, 512)
+    want = _xla_reference(q, k, v, None, scale)
+    g = np.asarray(got, np.float64)
+    w = np.asarray(want, np.float64)
+    rel = np.linalg.norm(g - w) / np.linalg.norm(w)
+    assert rel < 0.01, rel
+    assert np.max(np.abs(g - w)) < 0.08, np.max(np.abs(g - w))
+
+
+def test_flash_int8_with_bias_mask():
+    """The CFG-uncond per-key bias path composes with int8 scores."""
+    from hallo_tpu.ops.pallas_flash import _flash_forward_t_q8, _xla_reference
+
+    rng = np.random.default_rng(12)
+    b, h, lq, lk, d = 1, 2, 128, 512, 40
+    q = jnp.asarray(rng.normal(size=(b, h, lq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, lk, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, lk, d)), jnp.float32)
+    bias = jnp.where(jnp.arange(lk)[None, :] >= 256, -1e9, 0.0).astype(jnp.float32)
+    bias = jnp.broadcast_to(bias, (b, lk))
+    scale = d ** -0.5
+    with pltpu.force_tpu_interpret_mode():
+        got = _flash_forward_t_q8(q, k, v, bias, scale, 128, 256)
+    want = _xla_reference(q, k, v, bias, scale)
+    g = np.asarray(got, np.float64)
+    w = np.asarray(want, np.float64)
+    rel = np.linalg.norm(g - w) / np.linalg.norm(w)
+    assert rel < 0.01, rel
