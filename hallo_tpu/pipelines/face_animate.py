@@ -303,10 +303,13 @@ class FaceAnimatePipeline:
 
         latents = jax.lax.fori_loop(0, self._ddim.num_steps, body, latents)
 
-        # --- batched VAE decode -> [0, 1] pixels ---
+        # --- batched VAE decode -> uint8 pixels (the host fetch crosses the
+        # TPU tunnel; uint8 is 4x fewer bytes than f32 — ~1.5 s/clip at
+        # 512²x16 frames) ---
         flat = latents.reshape((b * f,) + latents.shape[2:])
         frames = m.vae.apply(p["vae"], flat, method=m.vae.decode)
         frames = jnp.clip(frames.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+        frames = jnp.round(frames * 255.0).astype(jnp.uint8)
         return frames.reshape((b, f) + frames.shape[1:])
 
     # ------------------------------------------------------------------
@@ -359,10 +362,11 @@ class FaceAnimatePipeline:
                 masks,
                 motion_scale,
             )
-            outputs.append(np.asarray(frames))
+            u8 = np.asarray(frames)  # uint8 crosses the tunnel, 4x cheaper
+            outputs.append(u8.astype(np.float32) / 255.0)
             # Carry the last frames as next clip's motion frames, mapped back
             # to [-1, 1] (scripts/inference.py:302-310).
-            motion = jnp.asarray(outputs[-1][:, -m_frames:]) * 2.0 - 1.0
+            motion = jnp.asarray(u8[:, -m_frames:], jnp.float32) / 127.5 - 1.0
 
         video = np.concatenate(outputs, axis=1)
         if audio_length is not None:

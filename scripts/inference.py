@@ -186,7 +186,7 @@ def main() -> None:
     parser.add_argument("--face_weight", type=float, default=None)
     parser.add_argument("--lip_weight", type=float, default=None)
     parser.add_argument("--face_expand_ratio", type=float, default=None)
-    parser.add_argument("--audio_ckpt_dir", type=str, default=None)
+    parser.add_argument("--audio_ckpt_dir", "--checkpoint", type=str, default=None)
     inference_process(parser.parse_args())
 
 
