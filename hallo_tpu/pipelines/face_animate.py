@@ -198,7 +198,14 @@ class FaceAnimatePipeline:
         clip_length: int = 16,
         n_motion_frames: int = 2,
         legacy_context_tiling: bool = True,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        seq_axis: str = "seq",
     ):
+        """With `mesh` (containing a >1-sized `seq_axis`), each denoise step
+        runs clip-parallel: the 16-frame window's frame axis is sharded over
+        the seq devices (motion modules all_to_all frames<->sites, inflated
+        GroupNorm moments psum — models/motion.py); everything else in the
+        clip program is frame-local and sharded by GSPMD."""
         self.models = models
         self.scheduler = scheduler
         self.num_inference_steps = num_inference_steps
@@ -210,6 +217,14 @@ class FaceAnimatePipeline:
         # "TODO: repeat这个地方需要斟酌一下"). True reproduces the trained
         # checkpoint's behavior; False uses the aligned per-frame repeat.
         self.legacy_context_tiling = legacy_context_tiling
+        self.mesh = mesh
+        self.seq_axis = seq_axis
+        if mesh is not None and mesh.shape.get(seq_axis, 1) > 1:
+            assert clip_length % mesh.shape[seq_axis] == 0, (
+                clip_length, mesh.shape[seq_axis]
+            )
+        else:
+            self.mesh = None
         self._ddim = ddim.make_state(scheduler, num_inference_steps)
         self._generate_clip = jax.jit(self._clip_fn)
 
@@ -266,40 +281,84 @@ class FaceAnimatePipeline:
             [jnp.zeros_like(audio_tokens), audio_tokens], axis=0
         )
 
-        # --- mask pyramid: (B, L) -> (2B*F, L), CFG-major ---
+        # --- mask pyramid: (B, L) -> (2B, F, L), CFG-major; frames fold to
+        # the denoiser's (2B*F, L) at the call site (keeping F explicit lets
+        # the clip-parallel path shard it) ---
         def expand(mask_b_l: jax.Array) -> jax.Array:
             per_frame = jnp.repeat(mask_b_l[:, None, :], f, axis=1)
-            return jnp.tile(per_frame.reshape(b * f, -1), (2, 1))
+            return jnp.tile(per_frame, (2, 1, 1))
 
         masks_cfg = tuple(tuple(expand(x) for x in level) for level in masks)
 
-        # --- denoise loop (cfg_split: the [uncond | cond] batch layout is
+        def fold_masks(mk):
+            return jax.tree.map(lambda z: z.reshape(-1, z.shape[-1]), mk)
+
+        # --- denoise step (cfg_split: the [uncond | cond] batch layout is
         # static here, so the uncond half runs plain self-attention instead
         # of bias-masked attention over the ref-KV concat — same math, half
         # the uncond KV work) ---
-        def body(i, lat):
-            t = self._ddim.timesteps[i]
+        def denoise_step(params_, t, lat, ctx, rf, mf, audio_t, fc, mk,
+                         ms, seq_ax=None):
             model_in = jnp.tile(lat, (2, 1, 1, 1, 1))
             out = m.denoising_net.apply(
-                p["denoising_net"],
+                params_,
                 model_in,
                 t,
-                context,
-                ref_feats,
-                motion_feats,
-                audio_tokens,
-                face_cond,
-                masks_cfg,
-                motion_scale,
+                ctx,
+                rf,
+                mf,
+                audio_t,
+                fc,
+                fold_masks(mk),
+                ms,
                 None,
                 cfg_split=True,
+                seq_axis=seq_ax,
             )
             if self.guidance_scale > 1.0:
                 un, co = out[:b], out[b:]
                 out = un + self.guidance_scale * (co - un)
             else:
                 out = out[b:]
-            return ddim.ddim_step(self._ddim, i, out, lat)
+            return out
+
+        if self.mesh is not None:
+            # Clip parallelism: frame-axis tensors shard over the seq mesh
+            # axis; params/context/reference features replicate.
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                from jax import shard_map
+            except ImportError:  # jax < 0.8
+                from jax.experimental.shard_map import shard_map
+
+            s = self.seq_axis
+            sharded_step = shard_map(
+                lambda pr, t, lat, au, fc, mk: denoise_step(
+                    pr, t, lat, context, ref_feats, motion_feats, au, fc, mk,
+                    motion_scale, s,
+                ),
+                mesh=self.mesh,
+                in_specs=(P(), P(), P(None, s), P(None, s), P(None, s), P(None, s)),
+                out_specs=P(None, s),
+            )
+
+            def run_step(t, lat):
+                return sharded_step(
+                    p["denoising_net"], t, lat, audio_tokens, face_cond, masks_cfg
+                )
+
+        else:
+
+            def run_step(t, lat):
+                return denoise_step(
+                    p["denoising_net"], t, lat, context, ref_feats, motion_feats,
+                    audio_tokens, face_cond, masks_cfg, motion_scale,
+                )
+
+        def body(i, lat):
+            t = self._ddim.timesteps[i]
+            return ddim.ddim_step(self._ddim, i, run_step(t, lat), lat)
 
         latents = jax.lax.fori_loop(0, self._ddim.num_steps, body, latents)
 

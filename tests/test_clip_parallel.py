@@ -250,3 +250,62 @@ def test_train_step_seq_parallel_matches_dp():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(bb), atol=1e-5, rtol=1e-4
         )
+
+
+def test_pipeline_clip_parallel_matches():
+    """FaceAnimatePipeline(mesh=...) — the full jitted clip program with the
+    denoise step shard_mapped over frames — must reproduce the single-device
+    pipeline's frames (uint8, so exact equality up to rounding of fp noise:
+    allow off-by-one levels on a tiny fraction of pixels)."""
+    from jax.sharding import Mesh
+
+    from hallo_tpu.pipelines.face_animate import FaceAnimatePipeline
+
+    if len(jax.devices()) < N_SEQ:
+        pytest.skip("needs devices")
+
+    h = w = 128
+    f, m = 8, 2
+    models = build_models(
+        "tiny", init_key=jax.random.PRNGKey(0), height=h, width=w,
+        clip_length=f, n_motion_frames=m,
+        unet_overrides=dict(
+            motion_module=MotionModuleConfig(
+                num_attention_heads=2,
+                temporal_position_encoding_max_len=16,
+                norm_num_groups=4,
+            )
+        ),
+    )
+    rng = np.random.default_rng(7)
+    ref_img = rng.uniform(-1, 1, (1, h, w, 3)).astype(np.float32)
+    ap = models.audio_proj.config
+    audio = rng.normal(size=(f, ap.seq_len, ap.blocks, ap.channels)).astype(
+        np.float32
+    )
+    face_emb = rng.normal(
+        size=(1, models.image_proj.config.clip_embeddings_dim)
+    ).astype(np.float32)
+    face_region = np.ones((1, h, w, 3), np.float32)
+    hl = h // 8
+    masks = tuple(
+        tuple(np.ones((1, (hl // 2**d) ** 2), np.float32) for _ in range(3))
+        for d in range(4)
+    )
+
+    kwargs = dict(
+        num_inference_steps=2, clip_length=f, n_motion_frames=m,
+    )
+    want = FaceAnimatePipeline(models, **kwargs)(
+        ref_img, audio, face_emb, face_region, masks, seed=11
+    )
+    mesh = Mesh(np.asarray(jax.devices()[:N_SEQ]), ("seq",))
+    got = FaceAnimatePipeline(models, mesh=mesh, **kwargs)(
+        ref_img, audio, face_emb, face_region, masks, seed=11
+    )
+    assert got.shape == want.shape
+    # float frames in [0,1] quantized from uint8; fp reduction-order noise
+    # may flip an occasional rounding decision
+    diff = np.abs(got - want)
+    assert np.mean(diff > 1.5 / 255.0) < 1e-3, np.mean(diff > 1.5 / 255.0)
+    assert np.max(diff) <= 16.5 / 255.0, np.max(diff)
