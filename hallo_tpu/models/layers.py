@@ -277,6 +277,39 @@ class CrossAttention(nn.Module):
         wo, bo = _Wrap(inner, out_dim, True, dtype=self.dtype, name="to_out")()
 
         h, d = self.heads, self.head_dim
+
+        # Packed path (TPU): projections and attention I/O stay in the
+        # NATURAL (B, L, C) layout — the all-heads-resident kernel slices
+        # heads in VMEM (pallas_flash._attention_kernel_packed). Emitting
+        # head-major/transposed layouts to HBM made XLA propagate L-minor
+        # layouts through every downstream matmul (~260 GB/s writes,
+        # measured ~35-55 ms/step at 512²).
+        from hallo_tpu.ops.attention import _resolve_backend
+
+        per_key_bias = bias is None or (
+            bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1
+        ) or bias.ndim <= 2
+        if (
+            _resolve_backend(backend) == "pallas"
+            and not self.upcast
+            and per_key_bias
+            and x.shape[1] >= 256
+            and d % 128 != 0
+        ):
+            from hallo_tpu.ops.pallas_flash import flash_attention_packed
+
+            q = jnp.einsum("blc,cm->blm", x, wq.astype(self.dtype))
+            k = jnp.einsum("blc,cm->blm", context, wk.astype(self.dtype))
+            v = jnp.einsum("blc,cm->blm", context, wv.astype(self.dtype))
+            flat_bias = (
+                None if bias is None else bias.reshape(bias.shape[0], -1)
+            )
+            out = flash_attention_packed(q, k, v, heads=h, bias=flat_bias)
+            out = jnp.einsum(
+                "blm,mo->blo", out.astype(self.dtype), wo.astype(self.dtype)
+            )
+            return out + bo.astype(self.dtype)
+
         q = jnp.einsum(
             "blc,chd->bhld", x, wq.reshape(c_q, h, d).astype(self.dtype)
         )
@@ -331,19 +364,25 @@ class TemporalSelfAttention(nn.Module):
         from hallo_tpu.ops.attention import _resolve_backend
 
         if _resolve_backend(None) == "pallas":
-            # Fused site-major kernel: sites on lanes, scores in VMEM
-            # (hallo_tpu/ops/pallas_temporal.py). Projections emit the
-            # (B, F, C, L) kernel layout directly.
-            from hallo_tpu.ops.pallas_temporal import temporal_attention
+            from hallo_tpu.ops import pallas_temporal as pt
 
             wq_ = wq.astype(self.dtype)
             wk_ = wk.astype(self.dtype)
             wv_ = wv.astype(self.dtype)
 
+            # NOTE(r1, measured): temporal_attention_packed (natural-layout
+            # I/O, heads in VMEM) removes the ~30 ms of L-minor Dense
+            # penalties its site-major HBM layout causes downstream, BUT the
+            # kernel itself ran ~200 ms/step slower — the natural
+            # orientation puts d=40 on lanes (31% VPU lane use), the
+            # scoped-vmem limit forces 64-site tiles, and the 8 heads run
+            # sequentially per instance. Site-major stays the dispatch;
+            # the packed kernel + tests remain for a future Mosaic with
+            # cheaper relayouts.
             q = jnp.einsum("bflc,cm->bfml", x, wq_)
             k = jnp.einsum("bflc,cm->bfml", x, wk_)
             v = jnp.einsum("bflc,cm->bfml", x, wv_)
-            o = temporal_attention(q, k, v, heads=h, scale=scale)
+            o = pt.temporal_attention(q, k, v, heads=h, scale=scale)
             y = jnp.einsum("bfml,mo->bflo", o.astype(self.dtype), wo.astype(self.dtype))
             return y + bo.astype(self.dtype)
 

@@ -203,6 +203,223 @@ def _attention_kernel_t_q8(
         o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
 
 
+def _attention_kernel_packed(
+    *refs, has_bias: bool, num_kv_tiles: int, heads: int, head_dim: int
+):
+    """ALL-HEADS-RESIDENT tile: q/k/v arrive as natural (block, C = H*D)
+    slabs (C-minor — the layout every surrounding matmul wants), the head
+    loop runs INSIDE the kernel over static lane slices, and the output is
+    assembled as a natural (block_q, C) slab.
+
+    Motivation (measured, r1): emitting head-major / transposed layouts to
+    HBM makes XLA propagate L-minor layouts through to_out -> residual ->
+    LayerNorm -> FF -> proj_out — ~3 ms per downstream matmul at 262 GB/s
+    plus relayout copies (~35-55 ms/step at 512²). Keeping head handling
+    in VMEM removes every head-major HBM tensor.
+
+    Per-head math is identical to _attention_kernel_t (transposed scores +
+    transposed-PV accumulator — the d<128 pass-count optimum); the final
+    (d, bq) -> (bq, d) transpose happens once per q-tile in VMEM."""
+    if has_bias:
+        q_ref, k_ref, v_ref, bias_ref, o_ref, m_scratch, l_scratch, acc_scratch = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch = refs
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    d = head_dim
+    for hh in range(heads):
+        q = q_ref[0][:, hh * d:(hh + 1) * d]  # (bq, D) — pre-scaled
+        k = k_ref[0][:, hh * d:(hh + 1) * d]  # (bk, D)
+        st = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bk, bq)
+        if has_bias:
+            st = st + bias_ref[0].astype(jnp.float32)  # (bk, 1)
+
+        m_prev = m_scratch[hh]  # (8, bq)
+        l_prev = l_scratch[hh]
+        m_curr = jnp.max(st, axis=0, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(st - m_next[:1])
+        l_next = alpha * l_prev + jnp.sum(p, axis=0, keepdims=True)
+        m_scratch[hh] = m_next
+        l_scratch[hh] = l_next
+
+        v = v_ref[0][:, hh * d:(hh + 1) * d]  # (bk, D)
+        # acc^T (D, bq) += V^T P^T: contract the bk sublane dim of both.
+        acc_scratch[hh] = acc_scratch[hh] * alpha[:1] + jax.lax.dot_general(
+            v, p.astype(v.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(kv_idx == num_kv_tiles - 1)
+    def _store():
+        for hh in range(heads):
+            l = l_scratch[hh][:1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[0, :, hh * d:(hh + 1) * d] = jnp.swapaxes(
+                acc_scratch[hh] * l_inv, 0, 1
+            ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "scale", "block_q", "block_k")
+)
+def _flash_forward_packed(
+    q: jax.Array,  # (B, Lq, C) natural, C = heads * d
+    k: jax.Array,  # (B, Lk, C)
+    v: jax.Array,
+    bias: Optional[jax.Array],
+    heads: int,
+    scale: float,
+    block_q: int,
+    block_k: int,
+) -> jax.Array:
+    b, lq, c = q.shape
+    lk = k.shape[1]
+    d = c // heads
+
+    qt = q * jnp.asarray(scale * LOG2E, q.dtype)
+
+    block_q = min(block_q, max(LANES, lq))
+    block_k = min(block_k, max(LANES, lk))
+    qt = _pad_to(qt, 1, block_q)
+    kt = _pad_to(k, 1, block_k)
+    vt = _pad_to(v, 1, block_k)
+    lq_p, lk_p = qt.shape[1], kt.shape[1]
+
+    has_bias = bias is not None or lk_p != lk
+    if has_bias:
+        full_bias = jnp.zeros((b, lk_p), jnp.float32)
+        if lk_p != lk:
+            pad_mask = jnp.arange(lk_p) >= lk
+            full_bias = jnp.where(pad_mask[None, :], MASK_VALUE, 0.0)
+            full_bias = jnp.broadcast_to(full_bias, (b, lk_p))
+        if bias is not None:
+            user = bias.reshape(b, -1).astype(jnp.float32) * LOG2E
+            full_bias = (
+                full_bias.at[:, :lk].add(user) if lk_p != lk else full_bias + user
+            )
+        full_bias = full_bias.reshape(b, lk_p, 1)  # keys on sublanes
+
+    num_q_tiles = lq_p // block_q
+    num_kv_tiles = lk_p // block_k
+    grid = (b, num_q_tiles, num_kv_tiles)
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, c), lambda bi, qi, ki: (bi, qi, 0)),
+        pl.BlockSpec((1, block_k, c), lambda bi, qi, ki: (bi, ki, 0)),
+        pl.BlockSpec((1, block_k, c), lambda bi, qi, ki: (bi, ki, 0)),
+    ]
+    inputs = [qt, kt, vt]
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec((1, block_k, 1), lambda bi, qi, ki: (bi, ki, 0))
+        )
+        inputs.append(full_bias)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _attention_kernel_packed,
+            has_bias=has_bias,
+            num_kv_tiles=num_kv_tiles,
+            heads=heads,
+            head_dim=d,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, lq_p, c), v.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, c), lambda bi, qi, ki: (bi, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((heads, 8, block_q), jnp.float32),
+            pltpu.VMEM((heads, 8, block_q), jnp.float32),
+            pltpu.VMEM((heads, d, block_q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(*inputs)
+
+    return out[:, :lq, :]
+
+
+def _xla_reference_packed(q, k, v, bias, heads, scale):
+    b, lq, c = q.shape
+    d = c // heads
+    qh = q.reshape(b, lq, heads, d)
+    kh = k.reshape(b, -1, heads, d)
+    vh = v.reshape(b, -1, heads, d)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
+    ) * scale
+    if bias is not None:
+        logits = logits + bias.reshape(b, 1, 1, -1).astype(jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(v.dtype), vh)
+    return o.reshape(b, lq, c).astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_packed(q, k, v, bias, heads, scale, block_q, block_k):
+    return _flash_forward_packed(q, k, v, bias, heads, scale, block_q, block_k)
+
+
+def _flash_packed_fwd(q, k, v, bias, heads, scale, block_q, block_k):
+    out = _flash_forward_packed(q, k, v, bias, heads, scale, block_q, block_k)
+    return out, (q, k, v, bias)
+
+
+def _flash_packed_bwd(heads, scale, block_q, block_k, residuals, g):
+    q, k, v, bias = residuals
+    _, vjp = jax.vjp(
+        lambda q, k, v, bb: _xla_reference_packed(q, k, v, bb, heads, scale),
+        q, k, v, bias,
+    )
+    dq, dk, dv, dbias = vjp(g)
+    return dq, dk, dv, (None if bias is None else dbias)
+
+
+_flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
+
+
+def flash_attention_packed(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    heads: int,
+    bias: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+) -> jax.Array:
+    """Fused attention on NATURAL (B, L, C) tensors, C = heads * head_dim.
+    No head-major tensor ever reaches HBM; see _attention_kernel_packed."""
+    c = q.shape[-1]
+    d = c // heads
+    if scale is None:
+        scale = float(d) ** -0.5
+    if block_q is None:
+        block_q = 1024 if c <= 384 else 512
+    if block_k is None:
+        block_k = 1024 if c <= 384 else 512
+    if bias is not None:
+        bias = jnp.broadcast_to(
+            bias.reshape(bias.shape[0], -1)[:, -k.shape[1]:],
+            (q.shape[0], k.shape[1]),
+        )
+    return _flash_packed(
+        q, k, v, bias, int(heads), float(scale), int(block_q), int(block_k)
+    )
+
+
 def _pad_to(x: jax.Array, axis: int, multiple: int, value=0.0) -> jax.Array:
     size = x.shape[axis]
     pad = (-size) % multiple

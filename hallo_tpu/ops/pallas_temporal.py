@@ -101,6 +101,166 @@ def _temporal_forward(
     return out[..., :l]
 
 
+def _temporal_kernel_packed(
+    q_ref, k_ref, v_ref, o_ref, qh_s, kh_s, vh_s, s_scratch, acc_s,
+    *, frames: int, heads: int, head_dim: int
+):
+    """Natural-layout (1, F, block_l, C) tile, heads looped INSIDE over lane
+    slices. Motivation (measured r1): the site-major (B, F, C, L) kernel
+    I/O made XLA propagate L-minor layouts through the motion module's
+    proj_out -> residual -> the NEXT spatial/audio blocks' Dense ops
+    (~3 ms each at 48 GF/s, ~30 ms/step at 512² level 0). Math runs in the
+    natural orientation: the D-reduction is a lane-axis sum, scores stack
+    (F, block_l) with sites on lanes, PV is a broadcast FMA.
+
+    All per-head working values live in EXPLICIT scratch (qh/kh/vh/s/acc)
+    so Mosaic reuses their stack slots across the unrolled loops, and the
+    site tile is small (64): the scoped-vmem limit is 16 MB and the
+    double-buffered (F, block_l, C) io tiles dominate it (measured:
+    block_l=128 allocated 16.95 MB).
+
+    NOTE(r1): a broadcast (F, bl, D) -> (F, bl) score reduction (one
+    statement per query frame) hits a Mosaic relayout bug ("Non-singleton
+    logical dimension is replicated in destination"); keep per-key-frame
+    statements."""
+    d = head_dim
+    for hh in range(heads):
+        sl = slice(hh * d, (hh + 1) * d)
+        for g in range(frames):
+            qh_s[g] = q_ref[0, g][:, sl]  # (bl, D) — input dtype; the
+            kh_s[g] = k_ref[0, g][:, sl]  # f32 upcast happens per use
+            vh_s[g] = v_ref[0, g][:, sl]
+        def body_f(f, _):
+            # dynamic leading-index loads/stores keep the per-query-frame
+            # work in ONE traced body — fully unrolling f x g gave every
+            # statement its own stack slot (18.5 MB scoped vmem).
+            qf = qh_s[f].astype(jnp.float32)
+            for g in range(frames):
+                s_scratch[g] = jnp.sum(
+                    qf * kh_s[g].astype(jnp.float32), axis=1
+                )
+            s = s_scratch[...]  # (F, bl) fp32, pre-scaled exp2 domain
+            m = jnp.max(s, axis=0, keepdims=True)
+            p = jnp.exp2(s - m)
+            p = p / jnp.sum(p, axis=0, keepdims=True)
+
+            acc_s[...] = jnp.zeros_like(acc_s)
+            for g in range(frames):
+                acc_s[...] = acc_s[...] + p[g][:, None] * vh_s[g].astype(
+                    jnp.float32
+                )
+            o_ref[0, f, :, sl] = acc_s[...].astype(o_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, frames, body_f, 0)
+
+
+def _temporal_forward_packed(
+    q: jax.Array,  # (B, F, L, C) natural, C = heads * D
+    k: jax.Array,
+    v: jax.Array,
+    heads: int,
+    scale: float,
+    block_l: int,
+) -> jax.Array:
+    b, f, l, c = q.shape
+    d = c // heads
+
+    qt = (q * jnp.asarray(scale * LOG2E, q.dtype)).astype(q.dtype)
+
+    # Tight scoped-vmem budget: the (F, block_l, C) io tiles double-buffer
+    # and Mosaic's stack adds ~2-3 MB of temporaries; 64 sites/block keeps
+    # an 18-frame 320-channel instance near 6 MB (measured: 128 blocks hit
+    # the 16 MB scoped limit at 16.95 MB).
+    budget_sites = (3 * 1024 * 1024) // max(f * c * 10, 1)
+    block_l = min(block_l, max(64, (budget_sites // 64) * 64))
+    block_l = min(block_l, max(64, l))
+    pad = (-l) % block_l
+    if pad:
+        widths = ((0, 0), (0, 0), (0, pad), (0, 0))
+        qt = jnp.pad(qt, widths)
+        k = jnp.pad(k, widths)
+        v = jnp.pad(v, widths)
+    l_p = qt.shape[2]
+
+    grid = (b, l_p // block_l)
+    spec = pl.BlockSpec((1, f, block_l, c), lambda bi, li: (bi, 0, li, 0))
+    out = pl.pallas_call(
+        functools.partial(
+            _temporal_kernel_packed, frames=f, heads=heads, head_dim=d
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, f, l_p, c), v.dtype),
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        scratch_shapes=[
+            pltpu.VMEM((f, block_l, d), q.dtype),   # q head slice
+            pltpu.VMEM((f, block_l, d), q.dtype),   # k head slice
+            pltpu.VMEM((f, block_l, d), q.dtype),   # v head slice
+            pltpu.VMEM((f, block_l), jnp.float32),  # scores
+            pltpu.VMEM((block_l, d), jnp.float32),  # PV accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(qt, k, v)
+    return out[:, :, :l, :]
+
+
+def _xla_reference_natural(q, k, v, heads, scale):
+    b, f, l, c = q.shape
+    d = c // heads
+    qh = q.reshape(b, f, l, heads, d)
+    kh = k.reshape(b, f, l, heads, d)
+    vh = v.reshape(b, f, l, heads, d)
+    s = jnp.einsum("bflhd,bglhd->bhlfg", qh, kh, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s * scale, axis=-1).astype(v.dtype)
+    o = jnp.einsum("bhlfg,bglhd->bflhd", p, vh)
+    return o.reshape(b, f, l, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _temporal_packed(q, k, v, heads, scale, block_l):
+    return _temporal_forward_packed(q, k, v, heads, scale, block_l)
+
+
+def _temporal_packed_fwd(q, k, v, heads, scale, block_l):
+    return _temporal_forward_packed(q, k, v, heads, scale, block_l), (q, k, v)
+
+
+def _temporal_packed_bwd(heads, scale, block_l, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(
+        lambda q, k, v: _xla_reference_natural(q, k, v, heads, scale), q, k, v
+    )
+    return vjp(g)
+
+
+_temporal_packed.defvjp(_temporal_packed_fwd, _temporal_packed_bwd)
+
+
+def temporal_attention_packed(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    heads: int,
+    scale: Optional[float] = None,
+    block_l: int = 512,
+) -> jax.Array:
+    """Frame-axis attention at every site on NATURAL (B, F, L, C) tensors.
+    Use for the wide-L/narrow-C levels (level 0: L=4096, C<=320) where the
+    site-major variant's HBM layout poisons downstream matmuls; deeper
+    levels keep `temporal_attention` (their (F, block, C) tiles would
+    exceed VMEM)."""
+    d = q.shape[-1] // heads
+    if scale is None:
+        scale = float(d) ** -0.5
+    if d % 8 != 0:
+        return _xla_reference_natural(q, k, v, heads, float(scale))
+    return _temporal_packed(q, k, v, heads, float(scale), int(block_l))
+
+
 def _xla_reference(q, k, v, heads, scale):
     b, f, c, l = q.shape
     d = c // heads

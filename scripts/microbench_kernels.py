@@ -79,6 +79,22 @@ def main() -> None:
     )
     log(f"flash_t int8 level-0 cond: {ms:.2f} ms")
 
+    # --- packed all-heads kernel, same level-0 cond workload on natural
+    # (B, L, C) tensors
+    qp = q.swapaxes(1, 2).reshape(b, lq, h * d)
+    kp = k.swapaxes(1, 2).reshape(b, lk, h * d)
+    vp = v.swapaxes(1, 2).reshape(b, lk, h * d)
+    gotp = pf.flash_attention_packed(qp[:1], kp[:1], vp[:1], heads=h, scale=d**-0.5)
+    wantp = pf._xla_reference_packed(qp[:1], kp[:1], vp[:1], None, h, d**-0.5)
+    errp = float(jnp.max(jnp.abs(gotp.astype(jnp.float32) - wantp.astype(jnp.float32))))
+    log(f"flash_packed correctness max|diff| = {errp:.4f}")
+    assert errp < 0.05, errp
+    ms = timeit(
+        lambda q_, k_, v_: pf.flash_attention_packed(q_, k_, v_, heads=h, scale=d**-0.5),
+        qp, kp, vp,
+    )
+    log(f"flash_packed level-0 cond (B{b}, L{lq}, KV{lk}, C{h*d}): {ms:.2f} ms")
+
     # --- temporal kernel at motion level-0: B2 F18 L4096 C320 (h8 d40)
     bt, f, l, c, heads = 2, 18, 4096, 320, 8
     qt = jnp.asarray(rng.normal(size=(bt, f, c, l)), jnp.bfloat16)

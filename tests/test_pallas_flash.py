@@ -151,3 +151,67 @@ def test_flash_int8_with_bias_mask():
     w = np.asarray(want, np.float64)
     rel = np.linalg.norm(g - w) / np.linalg.norm(w)
     assert rel < 0.01, rel
+
+
+def test_flash_packed_all_heads_vs_oracle():
+    """All-heads-resident packed kernel (natural (B, L, C) I/O) vs oracle,
+    with and without the per-key bias, at several head counts."""
+    from hallo_tpu.ops.pallas_flash import (
+        _xla_reference_packed,
+        flash_attention_packed,
+    )
+
+    rng = np.random.default_rng(3)
+    for (b, lq, lk, heads, d, bias_on) in [
+        (2, 256, 1024, 2, 40, False),
+        (1, 200, 512, 4, 40, True),
+        (1, 256, 256, 2, 80, False),
+        (1, 256, 32, 2, 40, False),  # short-KV (audio tokens) padding path
+    ]:
+        c = heads * d
+        q = jnp.asarray(rng.normal(size=(b, lq, c)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(b, lk, c)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, lk, c)), jnp.float32)
+        bias = None
+        if bias_on:
+            bias = jnp.where(jnp.arange(lk)[None, :] >= lk // 2, -1e9, 0.0)
+            bias = jnp.broadcast_to(bias.astype(jnp.float32), (b, lk))
+        with pltpu.force_tpu_interpret_mode():
+            got = flash_attention_packed(
+                q, k, v, heads=heads, bias=bias, block_q=128, block_k=256
+            )
+        want = _xla_reference_packed(q, k, v, bias, heads, d ** -0.5)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=3e-5,
+            err_msg=str((b, lq, lk, heads, d, bias_on)),
+        )
+
+
+def test_flash_packed_grad_matches_oracle():
+    from hallo_tpu.ops.pallas_flash import (
+        _xla_reference_packed,
+        flash_attention_packed,
+    )
+
+    rng = np.random.default_rng(4)
+    b, lq, lk, heads, d = 1, 128, 256, 2, 40
+    c = heads * d
+    q = jnp.asarray(rng.normal(size=(b, lq, c)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, lk, c)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, lk, c)), jnp.float32)
+
+    def loss_kernel(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(
+                flash_attention_packed(
+                    q, k, v, heads=heads, block_q=128, block_k=128
+                ) ** 2
+            )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_reference_packed(q, k, v, None, heads, d ** -0.5) ** 2)
+
+    g1 = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
