@@ -384,6 +384,11 @@ class TemporalSelfAttention(nn.Module):
             v = jnp.einsum("bflc,cm->bfml", x, wv_)
             o = pt.temporal_attention(q, k, v, heads=h, scale=scale)
             y = jnp.einsum("bfml,mo->bflo", o.astype(self.dtype), wo.astype(self.dtype))
+            # NOTE(r1, measured): ops/layout.layout_anchor(y) here — forcing
+            # the natural layout with one pallas copy — came out 13 ms/step
+            # SLOWER (511 vs 498): the anchor copies cost more than the
+            # L-minor Dense penalty they remove. Don't retry without a new
+            # profile showing the downstream chain got more expensive.
             return y + bo.astype(self.dtype)
 
         q = jnp.einsum("bflc,chd->bhlfd", x, wq.reshape(c, h, d).astype(self.dtype))
