@@ -55,9 +55,18 @@ class Downsample(nn.Module):
         return unfold_time(x, f)
 
 
+def mish(x):
+    """Mish activation (reference resnet.py:415-435, non_linearity="mish")."""
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+_ACTS = {"silu": nn.silu, "swish": nn.silu, "mish": mish}
+
+
 class ResnetBlock(nn.Module):
-    """GN -> SiLU -> conv -> (+temb) -> GN -> SiLU -> conv -> +shortcut
-    (reference resnet.py:255-412, time_embedding_norm="default").
+    """GN -> act -> conv -> (+temb) -> GN -> act -> conv -> +shortcut
+    (reference resnet.py:255-412, time_embedding_norm="default";
+    non_linearity in {swish, mish, silu}, resnet.py:352-358).
 
     With `inflated_groupnorm=True` the GroupNorm statistics span (F, H, W)
     (reference InflatedGroupNorm); otherwise they are per-frame.
@@ -66,6 +75,7 @@ class ResnetBlock(nn.Module):
     out_channels: int
     groups: int = 32
     eps: float = 1e-6
+    act_fn: str = "silu"
     inflated_groupnorm: bool = True
     # Clip parallelism: inflated-GN stats span frames, so with frames sharded
     # over this mesh axis the moment sums psum across it (per-frame GN stays
@@ -86,8 +96,9 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, temb: Optional[jax.Array] = None) -> jax.Array:
         in_channels = x.shape[-1]
+        act = _ACTS[self.act_fn]
         h = self._norm(x, self._norm_module("norm1"))
-        h = nn.silu(h)
+        h = act(h)
         h2, f = fold_time(h)
         h2 = Conv(self.out_channels, dtype=self.dtype, name="conv1")(h2)
         h = unfold_time(h2, f)
@@ -99,7 +110,7 @@ class ResnetBlock(nn.Module):
             h = h + t[:, None, None, None, :]
 
         h = self._norm(h, self._norm_module("norm2"))
-        h = nn.silu(h)
+        h = act(h)
         h2, f = fold_time(h)
         h2 = Conv(self.out_channels, dtype=self.dtype, name="conv2")(h2)
         h = unfold_time(h2, f)

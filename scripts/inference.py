@@ -87,7 +87,24 @@ def inference_process(args: argparse.Namespace) -> str:
         use_audio_module=False,
         use_inflated_groupnorm=False,
     )
-    models = HalloModels.create(ref_cfg, den_cfg, params={}, dtype=dtype)
+    # Aux modules sized from the (possibly yaml-overridden) UNet config so a
+    # shrunk unet_additional_kwargs yields a consistent end-to-end model
+    # (face-locator channels = block 0; proj dims = cross/audio attn dims).
+    from hallo_tpu.config import AudioProjConfig, FaceLocatorConfig, ImageProjConfig
+
+    models = HalloModels.create(
+        ref_cfg,
+        den_cfg,
+        params={},
+        face_locator_config=FaceLocatorConfig(
+            conditioning_embedding_channels=den_cfg.block_out_channels[0]
+        ),
+        image_proj_config=ImageProjConfig(
+            cross_attention_dim=den_cfg.cross_attention_dim
+        ),
+        audio_proj_config=AudioProjConfig(output_dim=den_cfg.audio_attention_dim),
+        dtype=dtype,
+    )
     models.init_params(
         jax.random.PRNGKey(0),
         height=height,
