@@ -66,6 +66,10 @@ def main() -> None:
         param_dtype=(dtype if scale == "full" else None),
     )
     log("params initialized")
+    # HALLO_BENCH_STEP_CACHE=uniform: cached-prediction step skipping
+    # (diffusion/cache.py) — the quality-traded fast mode; the default
+    # (exact) path is the headline number.
+    step_cache = os.environ.get("HALLO_BENCH_STEP_CACHE") or None
     pipe = FaceAnimatePipeline(
         models,
         SchedulerConfig(),
@@ -73,6 +77,7 @@ def main() -> None:
         guidance_scale=3.5,
         clip_length=clip,
         n_motion_frames=m,
+        step_cache=step_cache,
     )
     # HALLO_BENCH_BATCH > 1 measures the long-form config (BASELINE.md
     # config 4): several identities generated in one batched clip program.
@@ -132,6 +137,7 @@ def main() -> None:
             "scale": scale,
             "steps": steps,
             "batch": batch,
+            "step_cache": step_cache,
             "baseline_note": "A100 fps is an estimate; reference publishes none",
         },
     }

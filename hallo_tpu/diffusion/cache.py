@@ -1,0 +1,39 @@
+"""Denoiser step caching (opt-in acceleration).
+
+Caching-based acceleration for talking-head diffusion reuses the model
+prediction across adjacent DDIM steps where the denoising trajectory is
+smooth (see PAPERS.md: "Lightning Fast Caching-based Parallel Denoising
+Prediction for Accelerating Talking Head Generation"; "READ: Real-time and
+Efficient Asynchronous Diffusion"; TeaCache/DeepCache lineage). The early
+steps set global structure and the final steps sharpen detail, so the skip
+schedule is STATIC and jit-friendly: never skip a warmup prefix or a
+cooldown suffix; in between, recompute every `stride`-th step and reuse the
+cached v/eps prediction otherwise (the DDIM update still advances).
+
+Quality note: this trades a small amount of fidelity for throughput
+(roughly equivalent to finer-at-the-ends non-uniform sampling); it is OFF
+by default and the headline bench reports the exact path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def make_skip_mask(
+    num_steps: int,
+    warmup: int = 6,
+    cooldown: int = 4,
+    stride: int = 2,
+) -> np.ndarray:
+    """Boolean (num_steps,): True = reuse the cached model output.
+
+    Never skips step 0 (nothing cached yet), the first `warmup` steps, the
+    last `cooldown` steps, or two skips in a row for stride=2."""
+    skip = np.zeros(num_steps, dtype=bool)
+    for i in range(num_steps):
+        if i < max(1, warmup) or i >= num_steps - cooldown:
+            continue
+        if (i - warmup) % stride != 0:
+            skip[i] = True
+    return skip

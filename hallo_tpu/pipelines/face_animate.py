@@ -200,12 +200,18 @@ class FaceAnimatePipeline:
         legacy_context_tiling: bool = True,
         mesh: Optional[jax.sharding.Mesh] = None,
         seq_axis: str = "seq",
+        step_cache: Optional[str] = None,
     ):
         """With `mesh` (containing a >1-sized `seq_axis`), each denoise step
         runs clip-parallel: the 16-frame window's frame axis is sharded over
         the seq devices (motion modules all_to_all frames<->sites, inflated
         GroupNorm moments psum — models/motion.py); everything else in the
-        clip program is frame-local and sharded by GSPMD."""
+        clip program is frame-local and sharded by GSPMD.
+
+        `step_cache="uniform"` enables cached-prediction step skipping
+        (diffusion/cache.py — TeaCache/DeepCache lineage, see PAPERS.md):
+        ~1.5x fewer denoiser forwards for a small fidelity trade. Off by
+        default; the exact path is the quality-parity reference."""
         self.models = models
         self.scheduler = scheduler
         self.num_inference_steps = num_inference_steps
@@ -225,6 +231,7 @@ class FaceAnimatePipeline:
             )
         else:
             self.mesh = None
+        self.step_cache = step_cache
         self._ddim = ddim.make_state(scheduler, num_inference_steps)
         self._generate_clip = jax.jit(self._clip_fn)
 
@@ -356,11 +363,38 @@ class FaceAnimatePipeline:
                     audio_tokens, face_cond, masks_cfg, motion_scale,
                 )
 
-        def body(i, lat):
-            t = self._ddim.timesteps[i]
-            return ddim.ddim_step(self._ddim, i, run_step(t, lat), lat)
+        if self.step_cache is None:
 
-        latents = jax.lax.fori_loop(0, self._ddim.num_steps, body, latents)
+            def body(i, lat):
+                t = self._ddim.timesteps[i]
+                return ddim.ddim_step(self._ddim, i, run_step(t, lat), lat)
+
+            latents = jax.lax.fori_loop(0, self._ddim.num_steps, body, latents)
+        else:
+            # Cached-prediction step skipping (diffusion/cache.py): on skip
+            # steps reuse the previous model output; the DDIM update still
+            # advances. Static schedule -> lax.cond inside the jitted loop.
+            from hallo_tpu.diffusion.cache import make_skip_mask
+
+            skip = jnp.asarray(make_skip_mask(self._ddim.num_steps))
+
+            def body_c(i, carry):
+                lat, prev_out = carry
+                t = self._ddim.timesteps[i]
+                out = jax.lax.cond(
+                    skip[i],
+                    lambda _: prev_out,
+                    # carry in f32: the model emits the compute dtype (bf16
+                    # on TPU) and cond branches must type-match
+                    lambda _: run_step(t, lat).astype(jnp.float32),
+                    None,
+                )
+                return ddim.ddim_step(self._ddim, i, out, lat), out
+
+            zero_out = jnp.zeros_like(latents)
+            latents, _ = jax.lax.fori_loop(
+                0, self._ddim.num_steps, body_c, (latents, zero_out)
+            )
 
         # --- batched VAE decode -> uint8 pixels (the host fetch crosses the
         # TPU tunnel; uint8 is 4x fewer bytes than f32 — ~1.5 s/clip at

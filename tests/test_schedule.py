@@ -74,3 +74,55 @@ def test_velocity_definition_consistent():
     got_x0, got_eps = ddim.predict_x0_eps(v, xt, a, "v_prediction")
     np.testing.assert_allclose(np.asarray(got_x0), np.asarray(x0), atol=1e-4)
     np.testing.assert_allclose(np.asarray(got_eps), np.asarray(noise), atol=1e-4)
+
+
+def test_step_cache_skip_mask():
+    from hallo_tpu.diffusion.cache import make_skip_mask
+
+    m = make_skip_mask(40, warmup=6, cooldown=4, stride=2)
+    assert m.shape == (40,)
+    assert not m[:6].any() and not m[-4:].any()
+    assert not m[0]
+    # no two consecutive skips at stride 2
+    assert not (m[:-1] & m[1:]).any()
+    assert m.sum() >= 10  # meaningful savings
+
+
+def test_pipeline_step_cache_close_to_exact():
+    """Cached-step pipeline output stays close to the exact path on a tiny
+    model (sanity: the machinery skips forwards without derailing DDIM)."""
+    import jax
+    import numpy as np
+
+    from hallo_tpu.pipelines.face_animate import FaceAnimatePipeline
+    from hallo_tpu.utils.factory import build_models
+
+    h = w = 64
+    f, m = 4, 2
+    models = build_models(
+        "tiny", init_key=jax.random.PRNGKey(0), height=h, width=w,
+        clip_length=f, n_motion_frames=m,
+    )
+    rng = np.random.default_rng(0)
+    ref = rng.uniform(-1, 1, (1, h, w, 3)).astype(np.float32)
+    ap = models.audio_proj.config
+    audio = rng.normal(size=(f, ap.seq_len, ap.blocks, ap.channels)).astype(np.float32)
+    emb = rng.normal(size=(1, models.image_proj.config.clip_embeddings_dim)).astype(np.float32)
+    region = np.ones((1, h, w, 3), np.float32)
+    hl = h // 8
+    masks = tuple(
+        tuple(np.ones((1, (hl // 2**d) ** 2), np.float32) for _ in range(3))
+        for d in range(4)
+    )
+    kwargs = dict(num_inference_steps=8, clip_length=f, n_motion_frames=m)
+    exact = FaceAnimatePipeline(models, **kwargs)(
+        ref, audio, emb, region, masks, seed=3
+    )
+    cached = FaceAnimatePipeline(models, step_cache="uniform", **kwargs)(
+        ref, audio, emb, region, masks, seed=3
+    )
+    assert cached.shape == exact.shape
+    assert np.isfinite(cached).all()
+    # random-init models drift more than trained ones; just require the
+    # trajectories to stay in the same neighborhood
+    assert np.mean(np.abs(cached - exact)) < 0.15
