@@ -7,8 +7,9 @@ Replaces the reference's NCCL-backed HF Accelerate + DeepSpeed ZeRO-2 stack
 from hallo_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
+    mesh_from_config,
     replicated,
     zero_shard_tree,
 )
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "zero_shard_tree"]
+__all__ = ["make_mesh", "mesh_from_config", "batch_sharding", "replicated", "zero_shard_tree"]

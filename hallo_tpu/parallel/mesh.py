@@ -13,6 +13,7 @@ with ZeRO-2 optimizer-state sharding across 8 GPUs. TPU-native equivalent:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence
 
 import jax
@@ -55,6 +56,25 @@ def make_mesh(
     assert total <= len(devices), (n_data, n_seq, n_model, len(devices))
     grid = np.asarray(devices[:total]).reshape(n_data, n_seq, n_model)
     return Mesh(grid, axis_names=("data", "seq", "model"))
+
+
+def mesh_from_config(path: Optional[str] = None) -> Mesh:
+    """Build the Mesh from configs/parallel.yaml (the TPU-native equivalent
+    of the reference's accelerate_config.yaml). Axis sizes: -1 = all
+    remaining devices; `seq` is clip parallelism (frames sharded)."""
+    spec = {"data": -1, "seq": 1, "model": 1}
+    if path and os.path.exists(path):
+        from hallo_tpu.config import load_yaml
+
+        cfg = load_yaml(path)
+        mesh_cfg = getattr(cfg, "mesh", None) or {}
+        for axis in spec:
+            if axis in mesh_cfg:
+                spec[axis] = int(mesh_cfg[axis])
+    n_seq = max(1, spec["seq"])
+    n_model = max(1, spec["model"])
+    n_data = None if spec["data"] in (-1, 0) else spec["data"]
+    return make_mesh(n_data=n_data, n_model=n_model, n_seq=n_seq)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

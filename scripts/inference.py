@@ -166,6 +166,8 @@ def inference_process(args: argparse.Namespace) -> str:
         guidance_scale=float(config.cfg_scale),
         clip_length=clip_length,
         n_motion_frames=n_motion,
+        step_cache=(getattr(args, "step_cache", None)
+                    or str(getattr(config, "step_cache", "") or "") or None),
     )
 
     masks = tuple(
@@ -204,6 +206,10 @@ def main() -> None:
     parser.add_argument("--lip_weight", type=float, default=None)
     parser.add_argument("--face_expand_ratio", type=float, default=None)
     parser.add_argument("--audio_ckpt_dir", "--checkpoint", type=str, default=None)
+    parser.add_argument(
+        "--step_cache", type=str, default=None, choices=("uniform",),
+        help="cached-prediction step skipping (~1.5x faster, small quality "
+             "trade; hallo_tpu/diffusion/cache.py)")
     inference_process(parser.parse_args())
 
 

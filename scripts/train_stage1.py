@@ -36,6 +36,7 @@ def train_stage1_process(cfg) -> None:
     from hallo_tpu.data.datasets import FaceMaskDataset, batch_iterator
     from hallo_tpu.parallel.mesh import (
         make_mesh,
+        mesh_from_config,
         maybe_initialize_distributed,
         zero_shard_tree,
     )
@@ -101,9 +102,16 @@ def train_stage1_process(cfg) -> None:
         snr_gamma=float(cfg.snr_gamma),
         scheduler=sched,
     )
-    step_fn = jax.jit(make_train_step(models, tx, train_cfg), donate_argnums=(0,))
-
-    mesh = make_mesh()
+    # configs/parallel.yaml shapes the mesh (data / seq / model); with
+    # seq > 1 the train step runs clip-parallel (frames sharded).
+    mesh = mesh_from_config(
+        str(getattr(cfg, "parallel_config", "") or "configs/parallel.yaml")
+    )
+    use_seq = mesh.shape.get("seq", 1) > 1
+    step_fn = jax.jit(
+        make_train_step(models, tx, train_cfg, mesh=mesh if use_seq else None),
+        donate_argnums=(0,),
+    )
     data_sharding = NamedSharding(mesh, P("data"))
     replicated = NamedSharding(mesh, P())
     state = TrainState(

@@ -30,6 +30,7 @@ def train_stage2_process(cfg) -> None:
     from hallo_tpu.data.datasets import TalkingVideoDataset, batch_iterator
     from hallo_tpu.parallel.mesh import (
         make_mesh,
+        mesh_from_config,
         maybe_initialize_distributed,
         zero_shard_tree,
     )
@@ -102,9 +103,16 @@ def train_stage2_process(cfg) -> None:
         snr_gamma=float(cfg.snr_gamma),
         scheduler=SchedulerConfig(beta_schedule="scaled_linear"),
     )
-    step_fn = jax.jit(make_train_step(models, tx, train_cfg), donate_argnums=(0,))
-
-    mesh = make_mesh()
+    # configs/parallel.yaml shapes the mesh (data / seq / model); with
+    # seq > 1 the train step runs clip-parallel (frames sharded).
+    mesh = mesh_from_config(
+        str(getattr(cfg, "parallel_config", "") or "configs/parallel.yaml")
+    )
+    use_seq = mesh.shape.get("seq", 1) > 1
+    step_fn = jax.jit(
+        make_train_step(models, tx, train_cfg, mesh=mesh if use_seq else None),
+        donate_argnums=(0,),
+    )
     data_sharding = NamedSharding(mesh, P("data"))
     replicated = NamedSharding(mesh, P())
     state = TrainState(
@@ -128,6 +136,9 @@ def train_stage2_process(cfg) -> None:
             state, start_step = ckpt.load_train_state(exp_dir, state)
             logger.info("resumed from checkpoint-%d", start_step)
 
+    frame_sharding = NamedSharding(mesh, P("data", "seq"))
+    frame_keys = {"pixel_values", "audio_windows", "noise"}
+
     def put_batch(batch):
         out = {}
         for k, v in batch.items():
@@ -136,7 +147,8 @@ def train_stage2_process(cfg) -> None:
                     tuple(jax.device_put(x, data_sharding) for x in lvl) for lvl in v
                 )
             else:
-                out[k] = jax.device_put(v, data_sharding)
+                sh = frame_sharding if (use_seq and k in frame_keys) else data_sharding
+                out[k] = jax.device_put(v, sh)
         return out
 
     rng = jax.random.PRNGKey(int(cfg.seed))
