@@ -63,7 +63,13 @@ def mesh_from_config(path: Optional[str] = None) -> Mesh:
     of the reference's accelerate_config.yaml). Axis sizes: -1 = all
     remaining devices; `seq` is clip parallelism (frames sharded)."""
     spec = {"data": -1, "seq": 1, "model": 1}
-    if path and os.path.exists(path):
+    if path and not os.path.exists(path):
+        # A typo'd path must not silently disable clip parallelism.
+        raise FileNotFoundError(
+            f"parallel config not found: {path!r} (pass path=None for the "
+            "default pure-DP mesh)"
+        )
+    if path:
         from hallo_tpu.config import load_yaml
 
         cfg = load_yaml(path)

@@ -231,6 +231,12 @@ class FaceAnimatePipeline:
             )
         else:
             self.mesh = None
+        if step_cache in ("", "off", "none", "exact"):
+            step_cache = None
+        if step_cache not in (None, "uniform"):
+            raise ValueError(
+                f"step_cache={step_cache!r}: expected None/'off' or 'uniform'"
+            )
         self.step_cache = step_cache
         self._ddim = ddim.make_state(scheduler, num_inference_steps)
         self._generate_clip = jax.jit(self._clip_fn)

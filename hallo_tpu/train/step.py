@@ -85,11 +85,23 @@ def make_train_step(
     alphas = jnp.asarray(schedule.alphas_cumprod(cfg.scheduler))
     pred_type = cfg.scheduler.prediction_type
 
-    def loss_fn(params, batch, rng, seq_ax=None):
+    def loss_fn(params, batch, rng, seq_ax=None, data_ax=None):
         m = models
         pixels = batch["pixel_values"]
         b, f = pixels.shape[0], pixels.shape[1]
         r_t, r_noise, r_off, r_drop, r_start = jax.random.split(rng, 5)
+        if data_ax is not None:
+            # Inside shard_map the rng arrives replicated; fold the data-shard
+            # index into the PER-SAMPLE keys so every data shard draws distinct
+            # timesteps / noise / offsets (matching the GSPMD path where draws
+            # span the global batch). The per-STEP dropout draws (r_drop,
+            # r_start) stay global — reference semantics are one draw per step
+            # (train_stage2.py:795-805). axis_index(data) is equal across seq
+            # shards, so sample-level draws still agree along seq.
+            di = jax.lax.axis_index(data_ax)
+            r_t = jax.random.fold_in(r_t, di)
+            r_noise = jax.random.fold_in(r_noise, di)
+            r_off = jax.random.fold_in(r_off, di)
 
         # --- target latents + noise ---
         lat = m.vae.apply(
@@ -241,7 +253,7 @@ def make_train_step(
                 # after gives n_devices-times-too-large grads — jax's vma
                 # tracking already psums cotangents of unvarying inputs).
                 def global_loss(p__):
-                    return jax.lax.pmean(loss_fn(p__, b_, r_, s), (d, s))
+                    return jax.lax.pmean(loss_fn(p__, b_, r_, s, d), (d, s))
 
                 return jax.value_and_grad(global_loss)(p_)
 

@@ -58,7 +58,8 @@ def main() -> None:
 
 def _serve_minimal(port: int) -> None:
     """Stdlib fallback UI: upload form -> video file response."""
-    import cgi
+    import email
+    import email.policy
     import http.server
     import tempfile
 
@@ -76,16 +77,25 @@ def _serve_minimal(port: int) -> None:
             )
 
         def do_POST(self):
-            form = cgi.FieldStorage(
-                fp=self.rfile, headers=self.headers,
-                environ={"REQUEST_METHOD": "POST",
-                         "CONTENT_TYPE": self.headers["Content-Type"]},
+            # Parse the multipart body with the email package (the cgi module
+            # was removed in Python 3.13).
+            length = int(self.headers.get("Content-Length", 0))
+            raw = (
+                f"Content-Type: {self.headers['Content-Type']}\r\n\r\n".encode()
+                + self.rfile.read(length)
             )
+            msg = email.message_from_bytes(raw, policy=email.policy.HTTP)
+            parts = {
+                p.get_param("name", header="content-disposition"): p.get_payload(
+                    decode=True
+                )
+                for p in msg.iter_parts()
+            }
             with tempfile.TemporaryDirectory() as tmp:
                 img = os.path.join(tmp, "image.jpg")
                 wav = os.path.join(tmp, "audio.wav")
-                open(img, "wb").write(form["image"].file.read())
-                open(wav, "wb").write(form["audio"].file.read())
+                open(img, "wb").write(parts["image"])
+                open(wav, "wb").write(parts["audio"])
                 out = predict(img, wav, 1.0, 1.0, 1.0)
             self.send_response(200)
             self.send_header("Content-Type", "video/mp4")

@@ -103,10 +103,13 @@ def train_stage1_process(cfg) -> None:
         scheduler=sched,
     )
     # configs/parallel.yaml shapes the mesh (data / seq / model); with
-    # seq > 1 the train step runs clip-parallel (frames sharded).
-    mesh = mesh_from_config(
-        str(getattr(cfg, "parallel_config", "") or "configs/parallel.yaml")
-    )
+    # seq > 1 the train step runs clip-parallel (frames sharded). An
+    # explicitly-configured path must exist (mesh_from_config raises);
+    # the implicit default is only used when present.
+    ppath = str(getattr(cfg, "parallel_config", "") or "")
+    if not ppath:
+        ppath = "configs/parallel.yaml" if os.path.exists("configs/parallel.yaml") else None
+    mesh = mesh_from_config(ppath)
     use_seq = mesh.shape.get("seq", 1) > 1
     step_fn = jax.jit(
         make_train_step(models, tx, train_cfg, mesh=mesh if use_seq else None),
