@@ -110,17 +110,35 @@ def main() -> None:
 
     log("compiling clip program")
     t0 = time.perf_counter()
-    np.asarray(pipe._generate_clip(*args))
+    np.asarray(pipe._generate_clip(*args)[0])
     compile_and_first_s = time.perf_counter() - t0
     log(f"compile+first done in {compile_and_first_s:.1f}s")
 
+    # Per-clip latency: dispatch + full host fetch, serialized.
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        np.asarray(pipe._generate_clip(*args))
+        np.asarray(pipe._generate_clip(*args)[0])
         times.append(time.perf_counter() - t0)
     best = min(times)
-    fps = batch * clip / best
+
+    # Sustained throughput: the production sliding-window loop — clip c+1 is
+    # dispatched through the ON-DEVICE motion carry before clip c's frames
+    # are fetched, so the uint8 host fetch overlaps the next clip's denoise
+    # (pipelines/face_animate.py __call__ does exactly this).
+    n_clips = max(repeats, 2)
+    base = list(args)
+    t0 = time.perf_counter()
+    pending = None
+    for _ in range(n_clips):
+        frames, motion = pipe._generate_clip(*base)
+        base[1] = jnp.concatenate([base[1][:, :1], motion], axis=1)
+        if pending is not None:
+            np.asarray(pending)
+        pending = frames
+    np.asarray(pending)
+    sustained_s = (time.perf_counter() - t0) / n_clips
+    fps = batch * clip / sustained_s
 
     result = {
         "metric": f"frames_per_sec_per_chip_{height}x{width}_{steps}step_ddim",
@@ -128,7 +146,8 @@ def main() -> None:
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / A100_BASELINE_FPS_ESTIMATE, 3),
         "detail": {
-            "clip_seconds": round(best, 4),
+            "clip_seconds_sustained": round(sustained_s, 4),
+            "clip_seconds_latency": round(best, 4),
             "all_clip_seconds": [round(t, 4) for t in times],
             "compile_plus_first_s": round(compile_and_first_s, 2),
             "seconds_per_1s_output": round(best / (clip / 25.0), 3),

@@ -409,7 +409,15 @@ class FaceAnimatePipeline:
         frames = m.vae.apply(p["vae"], flat, method=m.vae.decode)
         frames = jnp.clip(frames.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
         frames = jnp.round(frames * 255.0).astype(jnp.uint8)
-        return frames.reshape((b, f) + frames.shape[1:])
+        frames = frames.reshape((b, f) + frames.shape[1:])
+        # Next clip's motion frames, computed ON DEVICE from the decoded uint8
+        # (identical numerics to the reference's host-side carry,
+        # scripts/inference.py:302-310) so the sliding-window loop can dispatch
+        # clip c+1 without waiting for clip c's host fetch.
+        next_motion = (
+            frames[:, -self.n_motion_frames :].astype(jnp.float32) / 127.5 - 1.0
+        )
+        return frames, next_motion
 
     # ------------------------------------------------------------------
     def __call__(
@@ -442,6 +450,13 @@ class FaceAnimatePipeline:
         # (scripts/inference.py:294-301).
         motion = jnp.repeat(ref_image[:, None], m_frames, axis=1)
 
+        # Pipelined sliding window: clip c+1 only depends on clip c through
+        # the ON-DEVICE motion carry, so it is dispatched before clip c's
+        # frames are fetched — the ~0.4 s/clip uint8 host fetch (and the host
+        # float conversion) overlaps the next clip's denoise instead of
+        # serializing with it. jax's async dispatch keeps the device queue
+        # busy; np.asarray on the PREVIOUS clip's frames blocks only the host.
+        pending = None  # device frames of clip c-1, not yet fetched
         outputs = []
         for c in range(num_clips):
             key, sub = jax.random.split(key)
@@ -451,7 +466,7 @@ class FaceAnimatePipeline:
             )[None]
             clip_audio = jnp.broadcast_to(clip_audio, (b,) + clip_audio.shape[1:])
             ref_pixels = jnp.concatenate([ref_image[:, None], motion], axis=1)
-            frames = self._generate_clip(
+            frames, motion = self._generate_clip(
                 self.models.params,
                 ref_pixels,
                 latents,
@@ -461,11 +476,10 @@ class FaceAnimatePipeline:
                 masks,
                 motion_scale,
             )
-            u8 = np.asarray(frames)  # uint8 crosses the tunnel, 4x cheaper
-            outputs.append(u8.astype(np.float32) / 255.0)
-            # Carry the last frames as next clip's motion frames, mapped back
-            # to [-1, 1] (scripts/inference.py:302-310).
-            motion = jnp.asarray(u8[:, -m_frames:], jnp.float32) / 127.5 - 1.0
+            if pending is not None:
+                outputs.append(np.asarray(pending).astype(np.float32) / 255.0)
+            pending = frames
+        outputs.append(np.asarray(pending).astype(np.float32) / 255.0)
 
         video = np.concatenate(outputs, axis=1)
         if audio_length is not None:
