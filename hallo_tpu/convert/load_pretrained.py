@@ -49,12 +49,21 @@ def load_pretrained_params(
     vae_model_path: Optional[str] = None,
     net_pth_path: Optional[str] = None,
     strict: bool = False,
+    min_loaded_fraction: float = 0.0,
 ) -> Dict[str, Any]:
     """Overlay all available pretrained weights onto random-init params.
 
     Returns the updated params dict; logs a per-module load report. Missing
-    files are skipped with a warning (smoke runs proceed on random init)."""
+    files are skipped with a warning (smoke runs proceed on random init).
+
+    `min_loaded_fraction` guards against silently half-loaded checkpoints
+    (the reference asserts load completeness, inference.py:250): any module
+    for which a checkpoint WAS found must end up with at least this fraction
+    of its parameters loaded, else RuntimeError. Trainers keep 0.0 (partial
+    init from SD/AnimateDiff is the normal starting point); the inference
+    CLI passes ~1.0 unless --allow-partial."""
     params = dict(init_params)
+    reports: Dict[str, Dict[str, Any]] = {}
 
     unet_sd = None
     if base_model_path:
@@ -80,6 +89,7 @@ def load_pretrained_params(
                 _load_any(vae_file), params["vae"], strict=strict
             )
             _log("vae", report)
+            reports["vae"] = report
 
     # --- ReferenceNet: SD-1.5, then net.pth override ---
     ref_sds = [sd for sd in (unet_sd,) if sd is not None]
@@ -93,6 +103,7 @@ def load_pretrained_params(
             merged, params["reference_net"], strict=False
         )
         _log("reference_net", report)
+        reports["reference_net"] = report
 
     # --- Denoising UNet: SD-1.5 + AnimateDiff + net.pth (later wins),
     #     shape-mismatch tolerant (from_pretrained_2d, unet_3d.py:776-830) ---
@@ -104,6 +115,7 @@ def load_pretrained_params(
             den_sds, params["denoising_net"], strict=False
         )
         _log("denoising_net", report)
+        reports["denoising_net"] = report
 
     # --- small heads from net.pth ---
     if net_groups:
@@ -112,18 +124,46 @@ def load_pretrained_params(
                 net_groups["face_locator"], params["face_locator"], strict=strict
             )
             _log("face_locator", report)
+            reports["face_locator"] = report
         if net_groups["imageproj"]:
             params["image_proj"], report = cv.convert_image_proj(
                 net_groups["imageproj"], params["image_proj"], strict=strict
             )
             _log("image_proj", report)
+            reports["image_proj"] = report
         if net_groups["audioproj"]:
             params["audio_proj"], report = cv.convert_audio_proj(
                 net_groups["audioproj"], params["audio_proj"], strict=strict
             )
             _log("audio_proj", report)
+            reports["audio_proj"] = report
 
+    if min_loaded_fraction > 0.0:
+        check_load_completeness(reports, min_loaded_fraction)
     return params
+
+
+def check_load_completeness(
+    reports: Dict[str, Dict[str, Any]], min_loaded_fraction: float
+) -> None:
+    """Fail when any module with a found checkpoint loaded below the
+    threshold — a wrong-layout checkpoint must not produce garbage with
+    rc=0 (reference inference.py:250 load-completeness assert)."""
+    failures = []
+    for name, report in reports.items():
+        loaded = len(report["loaded"])
+        total = loaded + len(report["missing_in_ckpt"]) + len(report["shape_mismatch"])
+        frac = loaded / max(total, 1)
+        if frac < min_loaded_fraction:
+            sample = (report["shape_mismatch"] + report["missing_in_ckpt"])[:5]
+            failures.append(
+                f"{name}: loaded {loaded}/{total} ({frac:.1%}) — e.g. {sample}"
+            )
+    if failures:
+        raise RuntimeError(
+            "checkpoint load incomplete (pass --allow-partial to override):\n  "
+            + "\n  ".join(failures)
+        )
 
 
 def load_wav2vec_params(model_path: str, init_params: Any, strict: bool = True):

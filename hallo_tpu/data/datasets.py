@@ -43,9 +43,15 @@ class FaceMaskDataset:
     def __len__(self) -> int:
         return len(self.meta)
 
+    def clip_path(self, idx: int) -> str:
+        return self.meta[idx]["clip_path"]
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        item = self.meta[idx]
-        clip = np.load(item["clip_path"])
+        return self.assemble(idx, np.load(self.clip_path(idx)))
+
+    def assemble(self, idx: int, clip) -> Dict[str, np.ndarray]:
+        """Build the item from preloaded npz contents (the prefetch path
+        feeds clips decoded off-thread by the native FilePrefetcher)."""
         frames = clip["frames"]  # (T, H, W, 3) uint8
         t = len(frames)
         ref_idx = self.rng.randrange(t)
@@ -91,9 +97,14 @@ class TalkingVideoDataset:
     def __len__(self) -> int:
         return len(self.meta)
 
+    def clip_path(self, idx: int) -> str:
+        return self.meta[idx]["clip_path"]
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        item = self.meta[idx]
-        clip = np.load(item["clip_path"])
+        return self.assemble(idx, np.load(self.clip_path(idx)))
+
+    def assemble(self, idx: int, clip) -> Dict[str, np.ndarray]:
+        """Build the item from preloaded npz contents (prefetch path)."""
         frames = clip["frames"]  # (T, H, W, 3) uint8
         audio = clip["audio_emb"]  # (T, 12, 768)
         t = min(len(frames), len(audio))
@@ -140,14 +151,25 @@ class TalkingVideoDataset:
 
 
 def batch_iterator(
-    dataset, batch_size: int, seed: int = 0, drop_last: bool = True
+    dataset,
+    batch_size: int,
+    seed: int = 0,
+    drop_last: bool = True,
+    prefetch: bool = True,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Simple shuffling batch loader (replaces torch DataLoader + DDP
-    sampler; under pjit the global batch is sharded on the data axis)."""
+    """Shuffling batch loader (replaces torch DataLoader + DDP sampler;
+    under pjit the global batch is sharded on the data axis).
+
+    With `prefetch`, clip npz files are read ahead by the native C++
+    FilePrefetcher (data/native_prefetch.py) in epoch order so disk IO
+    overlaps the train step; falls back to synchronous reads when the
+    native library is unavailable or the dataset has no clip files."""
     if len(dataset) == 0:
         raise ValueError("batch_iterator: empty dataset")
     rng = np.random.default_rng(seed)
-    while True:
+    use_prefetch = prefetch and hasattr(dataset, "clip_path")
+
+    def epoch_order():
         order = rng.permutation(len(dataset))
         if batch_size > len(order):
             # dataset smaller than the global batch (tiny integration runs,
@@ -158,18 +180,41 @@ def batch_iterator(
             order = np.concatenate(
                 [order] + [rng.permutation(len(dataset)) for _ in range(reps - 1)]
             )
-        for i in range(0, len(order) - batch_size + 1, batch_size):
-            items = [dataset[int(j)] for j in order[i : i + batch_size]]
-            batch = {}
-            for key in items[0]:
-                if key == "masks":
-                    batch[key] = tuple(
-                        tuple(
-                            np.stack([it[key][lvl][kind] for it in items])
-                            for kind in range(3)
-                        )
-                        for lvl in range(4)
+        return order[: len(order) - len(order) % batch_size]
+
+    def epoch_items(order) -> Iterator[Dict[str, np.ndarray]]:
+        if not use_prefetch:
+            for j in order:
+                yield dataset[int(j)]
+            return
+        from hallo_tpu.data.native_prefetch import FilePrefetcher
+
+        pf = FilePrefetcher([dataset.clip_path(int(j)) for j in order])
+        try:
+            for j, clip in zip(order, pf.iter_npz()):
+                yield dataset.assemble(int(j), clip)
+        finally:
+            pf.close()
+
+    def collate(items):
+        batch = {}
+        for key in items[0]:
+            if key == "masks":
+                batch[key] = tuple(
+                    tuple(
+                        np.stack([it[key][lvl][kind] for it in items])
+                        for kind in range(3)
                     )
-                else:
-                    batch[key] = np.stack([it[key] for it in items])
-            yield batch
+                    for lvl in range(4)
+                )
+            else:
+                batch[key] = np.stack([it[key] for it in items])
+        return batch
+
+    while True:
+        items = []
+        for item in epoch_items(epoch_order()):
+            items.append(item)
+            if len(items) == batch_size:
+                yield collate(items)
+                items = []

@@ -37,3 +37,16 @@ def make_skip_mask(
         if (i - warmup) % stride != 0:
             skip[i] = True
     return skip
+
+
+def make_allow_mask(
+    num_steps: int, warmup: int = 6, cooldown: int = 4
+) -> np.ndarray:
+    """Boolean (num_steps,): True = this step MAY reuse the cache, for the
+    DYNAMIC (TeaCache-style) criterion: the actual skip decision is made on
+    device from the accumulated relative latent change since the last
+    recompute. Warmup/cooldown are always recomputed (structure is set
+    early, detail late)."""
+    allow = np.zeros(num_steps, dtype=bool)
+    allow[max(1, warmup) : max(1, num_steps - cooldown)] = True
+    return allow

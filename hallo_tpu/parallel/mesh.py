@@ -83,6 +83,26 @@ def mesh_from_config(path: Optional[str] = None) -> Mesh:
     return make_mesh(n_data=n_data, n_model=n_model, n_seq=n_seq)
 
 
+def parallel_settings(path: Optional[str] = None) -> dict:
+    """Non-mesh knobs of configs/parallel.yaml: `mixed_precision`
+    ("no" | "bf16" | "fp16" — fp16 maps to bf16 on TPU) and
+    `zero_optimizer_sharding` (reference accelerate_config.yaml zero_stage: 2
+    / mixed_precision: fp16)."""
+    out = {"mixed_precision": "no", "zero_optimizer_sharding": True}
+    if path and not os.path.exists(path):
+        raise FileNotFoundError(f"parallel config not found: {path!r}")
+    if path:
+        from hallo_tpu.config import load_yaml
+
+        cfg = load_yaml(path)
+        for key in out:
+            if key in cfg:
+                out[key] = cfg[key]
+    out["mixed_precision"] = str(out["mixed_precision"]).lower()
+    out["zero_optimizer_sharding"] = bool(out["zero_optimizer_sharding"])
+    return out
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over "data"."""
     return NamedSharding(mesh, P("data"))

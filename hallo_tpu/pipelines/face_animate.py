@@ -201,6 +201,7 @@ class FaceAnimatePipeline:
         mesh: Optional[jax.sharding.Mesh] = None,
         seq_axis: str = "seq",
         step_cache: Optional[str] = None,
+        step_cache_threshold: float = 0.10,
     ):
         """With `mesh` (containing a >1-sized `seq_axis`), each denoise step
         runs clip-parallel: the 16-frame window's frame axis is sharded over
@@ -210,7 +211,11 @@ class FaceAnimatePipeline:
 
         `step_cache="uniform"` enables cached-prediction step skipping
         (diffusion/cache.py — TeaCache/DeepCache lineage, see PAPERS.md):
-        ~1.5x fewer denoiser forwards for a small fidelity trade. Off by
+        ~1.5x fewer denoiser forwards for a small fidelity trade.
+        `step_cache="dynamic"` decides per step ON DEVICE: reuse while the
+        accumulated relative latent change since the last recompute stays
+        under `step_cache_threshold` (TeaCache-style; adapts to content —
+        smooth trajectories skip more, fast motion recomputes). Off by
         default; the exact path is the quality-parity reference."""
         self.models = models
         self.scheduler = scheduler
@@ -233,11 +238,13 @@ class FaceAnimatePipeline:
             self.mesh = None
         if step_cache in ("", "off", "none", "exact"):
             step_cache = None
-        if step_cache not in (None, "uniform"):
+        if step_cache not in (None, "uniform", "dynamic"):
             raise ValueError(
-                f"step_cache={step_cache!r}: expected None/'off' or 'uniform'"
+                f"step_cache={step_cache!r}: expected None/'off', 'uniform' "
+                "or 'dynamic'"
             )
         self.step_cache = step_cache
+        self.step_cache_threshold = float(step_cache_threshold)
         self._ddim = ddim.make_state(scheduler, num_inference_steps)
         self._generate_clip = jax.jit(self._clip_fn)
 
@@ -376,6 +383,43 @@ class FaceAnimatePipeline:
                 return ddim.ddim_step(self._ddim, i, run_step(t, lat), lat)
 
             latents = jax.lax.fori_loop(0, self._ddim.num_steps, body, latents)
+        elif self.step_cache == "dynamic":
+            # TeaCache-style on-device skip criterion: reuse the cached
+            # prediction while the ACCUMULATED relative L1 change of the
+            # latents since the last recompute stays under the threshold.
+            # lax.cond executes only the taken branch on TPU, so skipped
+            # steps cost just the cheap error estimate + DDIM update.
+            from hallo_tpu.diffusion.cache import make_allow_mask
+
+            allow = jnp.asarray(make_allow_mask(self._ddim.num_steps))
+            thresh = jnp.float32(self.step_cache_threshold)
+
+            def body_d(i, carry):
+                lat, prev_out, anchor, accum, n_skips = carry
+                t = self._ddim.timesteps[i]
+                diff = jnp.mean(jnp.abs(lat - anchor)) / (
+                    jnp.mean(jnp.abs(anchor)) + 1e-8
+                )
+                want_skip = allow[i] & (accum + diff < thresh)
+
+                def reuse(_):
+                    return prev_out, anchor, accum + diff
+
+                def recompute(_):
+                    return run_step(t, lat).astype(jnp.float32), lat, jnp.float32(0)
+
+                out, anchor, accum = jax.lax.cond(want_skip, reuse, recompute, None)
+                n_skips = n_skips + want_skip.astype(jnp.int32)
+                return (
+                    ddim.ddim_step(self._ddim, i, out, lat),
+                    out, anchor, accum, n_skips,
+                )
+
+            zero_out = jnp.zeros_like(latents)
+            latents, _, _, _, _ = jax.lax.fori_loop(
+                0, self._ddim.num_steps, body_d,
+                (latents, zero_out, latents, jnp.float32(0), jnp.int32(0)),
+            )
         else:
             # Cached-prediction step skipping (diffusion/cache.py): on skip
             # steps reuse the previous model output; the DDIM update still

@@ -24,6 +24,9 @@ class OptimizerConfig:
     beta2: float = 0.999
     eps: float = 1e-8
     max_grad_norm: float = 1.0
+    # reference solver knobs (configs/train/stage2.yaml:23-33)
+    lr_warmup_steps: int = 0
+    gradient_accumulation_steps: int = 1
 
 
 def stage1_trainable(top_key: str, path: Tuple[str, ...]) -> bool:
@@ -67,19 +70,29 @@ def label_params(
 def make_optimizer(
     cfg: OptimizerConfig, labels: Dict[str, Any]
 ) -> optax.GradientTransformation:
+    lr = cfg.learning_rate
+    if cfg.lr_warmup_steps > 0:
+        # reference lr_scheduler: "constant" with lr_warmup_steps
+        # (stage2.yaml:31-33, get_scheduler in train_stage*.py)
+        lr = optax.linear_schedule(0.0, cfg.learning_rate, cfg.lr_warmup_steps)
     adamw = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(
-            cfg.learning_rate,
+            lr,
             b1=cfg.beta1,
             b2=cfg.beta2,
             eps=cfg.eps,
             weight_decay=cfg.weight_decay,
         ),
     )
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {"train": adamw, "freeze": optax.set_to_zero()}, labels
     )
+    if cfg.gradient_accumulation_steps > 1:
+        # reference solver.gradient_accumulation_steps (Accelerate
+        # accumulate()); params update every k micro-batches.
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.gradient_accumulation_steps)
+    return tx
 
 
 @dataclasses.dataclass

@@ -113,12 +113,16 @@ def inference_process(args: argparse.Namespace) -> str:
         n_motion_frames=n_motion,
         param_dtype=dtype,
     )
+    # A found-but-wrong-layout checkpoint must exit non-zero, not render
+    # garbage (reference inference.py:250 asserts load completeness).
+    allow_partial = bool(getattr(args, "allow_partial", False))
     models.params = load_pretrained_params(
         models.params,
         base_model_path=str(config.base_model_path),
         motion_module_path=str(config.motion_module_path),
         vae_model_path=str(config.vae.model_path),
         net_pth_path=os.path.join(str(config.audio_ckpt_dir), "net.pth"),
+        min_loaded_fraction=0.0 if allow_partial else 0.99,
     )
 
     # ------------------------------------------------------------- audio
@@ -206,6 +210,10 @@ def main() -> None:
     parser.add_argument("--lip_weight", type=float, default=None)
     parser.add_argument("--face_expand_ratio", type=float, default=None)
     parser.add_argument("--audio_ckpt_dir", "--checkpoint", type=str, default=None)
+    parser.add_argument(
+        "--allow-partial", dest="allow_partial", action="store_true",
+        help="proceed even when found checkpoints load incompletely",
+    )
     parser.add_argument(
         "--step_cache", type=str, default=None, choices=("uniform",),
         help="cached-prediction step skipping (~1.5x faster, small quality "

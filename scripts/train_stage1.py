@@ -12,7 +12,6 @@ Reference: scripts/train_stage1.py:289-793. TPU-native deltas:
 from __future__ import annotations
 
 import argparse
-import json
 import logging
 import os
 import sys
@@ -38,6 +37,7 @@ def train_stage1_process(cfg) -> None:
         make_mesh,
         mesh_from_config,
         maybe_initialize_distributed,
+        parallel_settings,
         zero_shard_tree,
     )
     from hallo_tpu.pipelines.face_animate import HalloModels
@@ -50,28 +50,42 @@ def train_stage1_process(cfg) -> None:
     )
     from hallo_tpu.train.step import TrainConfig, make_train_step
     from hallo_tpu.utils import checkpoint as ckpt
+    from hallo_tpu.utils.profiling import MetricsLogger
 
     maybe_initialize_distributed()
     exp_dir = os.path.join(str(cfg.output_dir), str(cfg.exp_name))
     os.makedirs(exp_dir, exist_ok=True)
 
+    # configs/parallel.yaml shapes the mesh AND the precision/ZeRO knobs
+    # (the TPU-native accelerate_config.yaml). solver.mixed_precision (the
+    # reference's key) takes priority when present; fp16 maps to bf16.
+    ppath = str(getattr(cfg, "parallel_config", "") or "")
+    if not ppath:
+        ppath = "configs/parallel.yaml" if os.path.exists("configs/parallel.yaml") else None
+    psettings = parallel_settings(ppath)
+    solver = cfg.solver
+    mp = str(getattr(solver, "mixed_precision", "") or psettings["mixed_precision"])
+    compute_dtype = jnp.bfloat16 if mp.lower() in ("bf16", "fp16", "bfloat16") else jnp.float32
+    grad_ckpt = bool(getattr(solver, "gradient_checkpointing", False))
+
     width = height = int(cfg.data.train_width)
     unet_kwargs = cfglib.to_container(cfg.unet_additional_kwargs) if "unet_additional_kwargs" in cfg else {}
     # stage 1 runs the denoiser in 2D mode: no motion/audio modules
     den_cfg = unet_config_from_yaml_kwargs(
-        unet_kwargs, use_motion_module=False, use_audio_module=False
+        unet_kwargs, use_motion_module=False, use_audio_module=False,
+        remat=grad_ckpt,
     )
     ref_cfg = unet_config_from_yaml_kwargs(
         unet_kwargs,
         use_motion_module=False, use_audio_module=False,
-        use_inflated_groupnorm=False,
+        use_inflated_groupnorm=False, remat=grad_ckpt,
     )
     aux = {}
     if str(getattr(cfg, "aux_scale", "")) == "tiny":  # tiny integration tests
         from hallo_tpu.utils.factory import TINY_AUX
 
         aux = TINY_AUX
-    models = HalloModels.create(ref_cfg, den_cfg, params={}, **aux)
+    models = HalloModels.create(ref_cfg, den_cfg, params={}, dtype=compute_dtype, **aux)
     models.init_params(
         jax.random.PRNGKey(int(cfg.seed)), height=height, width=width,
         clip_length=1, n_motion_frames=0,
@@ -85,8 +99,16 @@ def train_stage1_process(cfg) -> None:
     labels = label_params(models.params, stage1_trainable)
     tx = make_optimizer(
         OptimizerConfig(
-            learning_rate=float(cfg.solver.learning_rate),
-            max_grad_norm=float(cfg.solver.max_grad_norm),
+            learning_rate=float(solver.learning_rate),
+            max_grad_norm=float(solver.max_grad_norm),
+            beta1=float(getattr(solver, "adam_beta1", 0.9)),
+            beta2=float(getattr(solver, "adam_beta2", 0.999)),
+            weight_decay=float(getattr(solver, "adam_weight_decay", 1e-2)),
+            eps=float(getattr(solver, "adam_epsilon", 1e-8)),
+            lr_warmup_steps=int(getattr(solver, "lr_warmup_steps", 0)),
+            gradient_accumulation_steps=int(
+                getattr(solver, "gradient_accumulation_steps", 1)
+            ),
         ),
         labels,
     )
@@ -102,13 +124,8 @@ def train_stage1_process(cfg) -> None:
         snr_gamma=float(cfg.snr_gamma),
         scheduler=sched,
     )
-    # configs/parallel.yaml shapes the mesh (data / seq / model); with
-    # seq > 1 the train step runs clip-parallel (frames sharded). An
-    # explicitly-configured path must exist (mesh_from_config raises);
-    # the implicit default is only used when present.
-    ppath = str(getattr(cfg, "parallel_config", "") or "")
-    if not ppath:
-        ppath = "configs/parallel.yaml" if os.path.exists("configs/parallel.yaml") else None
+    # Mesh from configs/parallel.yaml; with seq > 1 the train step runs
+    # clip-parallel (frames sharded).
     mesh = mesh_from_config(ppath)
     use_seq = mesh.shape.get("seq", 1) > 1
     step_fn = jax.jit(
@@ -117,10 +134,15 @@ def train_stage1_process(cfg) -> None:
     )
     data_sharding = NamedSharding(mesh, P("data"))
     replicated = NamedSharding(mesh, P())
+    opt_sharding = (
+        zero_shard_tree(state.opt_state, mesh)
+        if psettings["zero_optimizer_sharding"]
+        else jax.tree.map(lambda _: replicated, state.opt_state)
+    )
     state = TrainState(
         step=jax.device_put(state.step, replicated),
         params=jax.device_put(state.params, replicated),
-        opt_state=jax.device_put(state.opt_state, zero_shard_tree(state.opt_state, mesh)),
+        opt_state=jax.device_put(state.opt_state, opt_sharding),
     )
 
     dataset = FaceMaskDataset(
@@ -138,25 +160,46 @@ def train_stage1_process(cfg) -> None:
             state, start_step = ckpt.load_train_state(exp_dir, state)
             logger.info("resumed from checkpoint-%d", start_step)
 
+    # validation renders (reference train_stage1.py:181-286, 728-744)
+    val_cfg = getattr(cfg, "val", None) or {}
+    val_steps = int(val_cfg.get("validation_steps", 0) if hasattr(val_cfg, "get") else 0)
+    val_infer_steps = int(val_cfg.get("num_inference_steps", 20) if hasattr(val_cfg, "get") else 20)
+
+    def run_validation(step):
+        from hallo_tpu.train.validation import log_validation_stage1
+
+        models.params = state.params
+        items = [dataset[i] for i in range(min(2, len(dataset)))]
+        log_validation_stage1(
+            models, exp_dir, step,
+            ref_images=[it["ref_pixels"] for it in items],
+            face_embs=[it["face_emb"] for it in items],
+            face_regions=[it["face_region"] for it in items],
+            num_inference_steps=val_infer_steps,
+            seed=int(cfg.seed),
+        )
+
     rng = jax.random.PRNGKey(int(cfg.seed))
-    metrics_path = os.path.join(exp_dir, "metrics.jsonl")
+    metrics = MetricsLogger(exp_dir)
+    log_every = int(cfg.get("log_every", 10) if hasattr(cfg, "get") else 10)
     t0 = time.time()
     for step in range(start_step, int(cfg.solver.max_train_steps)):
         batch = next(batches)
         batch = {k: jax.device_put(v, data_sharding) for k, v in batch.items()}
         rng, sub = jax.random.split(rng)
-        state, metrics = step_fn(state, batch, sub)
-        if step % int(cfg.get("log_every", 10) if hasattr(cfg, "get") else 10) == 0:
-            loss = float(metrics["loss"])
-            line = {"step": step, "loss": loss,
-                    "grad_norm": float(metrics["grad_norm"]),
-                    "sec": round(time.time() - t0, 1)}
-            logger.info("%s", line)
-            with open(metrics_path, "a") as f:
-                f.write(json.dumps(line) + "\n")
+        state, step_metrics = step_fn(state, batch, sub)
+        if step % log_every == 0:
+            line = dict(loss=float(step_metrics["loss"]),
+                        grad_norm=float(step_metrics["grad_norm"]),
+                        sec=round(time.time() - t0, 1))
+            logger.info("%s", {"step": step, **line})
+            metrics.log(step, **line)
         if (step + 1) % int(cfg.checkpointing_steps) == 0:
             ckpt.save_train_state(exp_dir, step + 1, state,
                                   keep=int(cfg.get("total_limit", 3) if hasattr(cfg, "get") else 3))
+        if val_steps and (step + 1) % val_steps == 0:
+            run_validation(step + 1)
+    metrics.close()
 
     # final per-module exports for stage hand-off (reference
     # move_final_checkpoint, train_stage1.py:752-758)

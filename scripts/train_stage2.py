@@ -7,7 +7,6 @@ stage 1 (see scripts/train_stage1.py docstring)."""
 from __future__ import annotations
 
 import argparse
-import json
 import logging
 import os
 import sys
@@ -21,6 +20,7 @@ logger = logging.getLogger("hallo_tpu.train2")
 
 def train_stage2_process(cfg) -> None:
     import jax
+    import jax.numpy as jnp
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -32,6 +32,7 @@ def train_stage2_process(cfg) -> None:
         make_mesh,
         mesh_from_config,
         maybe_initialize_distributed,
+        parallel_settings,
         zero_shard_tree,
     )
     from hallo_tpu.pipelines.face_animate import HalloModels
@@ -44,27 +45,39 @@ def train_stage2_process(cfg) -> None:
     )
     from hallo_tpu.train.step import TrainConfig, make_train_step
     from hallo_tpu.utils import checkpoint as ckpt
+    from hallo_tpu.utils.profiling import MetricsLogger
 
     maybe_initialize_distributed()
     exp_dir = os.path.join(str(cfg.output_dir), str(cfg.exp_name))
     os.makedirs(exp_dir, exist_ok=True)
 
+    # Mesh + precision/ZeRO knobs from configs/parallel.yaml; the reference's
+    # solver.mixed_precision key wins when present (fp16 maps to bf16).
+    ppath = str(getattr(cfg, "parallel_config", "") or "")
+    if not ppath:
+        ppath = "configs/parallel.yaml" if os.path.exists("configs/parallel.yaml") else None
+    psettings = parallel_settings(ppath)
+    solver = cfg.solver
+    mp = str(getattr(solver, "mixed_precision", "") or psettings["mixed_precision"])
+    compute_dtype = jnp.bfloat16 if mp.lower() in ("bf16", "fp16", "bfloat16") else jnp.float32
+    grad_ckpt = bool(getattr(solver, "gradient_checkpointing", False))
+
     width = height = int(cfg.data.train_width)
     f = int(cfg.data.n_sample_frames)
     m = int(cfg.data.n_motion_frames)
     unet_kwargs = cfglib.to_container(cfg.unet_additional_kwargs)
-    den_cfg = unet_config_from_yaml_kwargs(unet_kwargs)
+    den_cfg = unet_config_from_yaml_kwargs(unet_kwargs, remat=grad_ckpt)
     ref_cfg = unet_config_from_yaml_kwargs(
         unet_kwargs,
         use_motion_module=False, use_audio_module=False,
-        use_inflated_groupnorm=False,
+        use_inflated_groupnorm=False, remat=grad_ckpt,
     )
     aux = {}
     if str(getattr(cfg, "aux_scale", "")) == "tiny":  # tiny integration tests
         from hallo_tpu.utils.factory import TINY_AUX
 
         aux = TINY_AUX
-    models = HalloModels.create(ref_cfg, den_cfg, params={}, **aux)
+    models = HalloModels.create(ref_cfg, den_cfg, params={}, dtype=compute_dtype, **aux)
     models.init_params(
         jax.random.PRNGKey(int(cfg.seed)), height=height, width=width,
         clip_length=f, n_motion_frames=m,
@@ -87,8 +100,16 @@ def train_stage2_process(cfg) -> None:
     labels = label_params(models.params, stage2_trainable)
     tx = make_optimizer(
         OptimizerConfig(
-            learning_rate=float(cfg.solver.learning_rate),
-            max_grad_norm=float(cfg.solver.max_grad_norm),
+            learning_rate=float(solver.learning_rate),
+            max_grad_norm=float(solver.max_grad_norm),
+            beta1=float(getattr(solver, "adam_beta1", 0.9)),
+            beta2=float(getattr(solver, "adam_beta2", 0.999)),
+            weight_decay=float(getattr(solver, "adam_weight_decay", 1e-2)),
+            eps=float(getattr(solver, "adam_epsilon", 1e-8)),
+            lr_warmup_steps=int(getattr(solver, "lr_warmup_steps", 0)),
+            gradient_accumulation_steps=int(
+                getattr(solver, "gradient_accumulation_steps", 1)
+            ),
         ),
         labels,
     )
@@ -103,13 +124,8 @@ def train_stage2_process(cfg) -> None:
         snr_gamma=float(cfg.snr_gamma),
         scheduler=SchedulerConfig(beta_schedule="scaled_linear"),
     )
-    # configs/parallel.yaml shapes the mesh (data / seq / model); with
-    # seq > 1 the train step runs clip-parallel (frames sharded). An
-    # explicitly-configured path must exist (mesh_from_config raises);
-    # the implicit default is only used when present.
-    ppath = str(getattr(cfg, "parallel_config", "") or "")
-    if not ppath:
-        ppath = "configs/parallel.yaml" if os.path.exists("configs/parallel.yaml") else None
+    # Mesh from configs/parallel.yaml; with seq > 1 the train step runs
+    # clip-parallel (frames sharded).
     mesh = mesh_from_config(ppath)
     use_seq = mesh.shape.get("seq", 1) > 1
     step_fn = jax.jit(
@@ -118,10 +134,15 @@ def train_stage2_process(cfg) -> None:
     )
     data_sharding = NamedSharding(mesh, P("data"))
     replicated = NamedSharding(mesh, P())
+    opt_sharding = (
+        zero_shard_tree(state.opt_state, mesh)
+        if psettings["zero_optimizer_sharding"]
+        else jax.tree.map(lambda _: replicated, state.opt_state)
+    )
     state = TrainState(
         step=jax.device_put(state.step, replicated),
         params=jax.device_put(state.params, replicated),
-        opt_state=jax.device_put(state.opt_state, zero_shard_tree(state.opt_state, mesh)),
+        opt_state=jax.device_put(state.opt_state, opt_sharding),
     )
 
     dataset = TalkingVideoDataset(
@@ -154,22 +175,47 @@ def train_stage2_process(cfg) -> None:
                 out[k] = jax.device_put(v, sh)
         return out
 
+    # validation renders (reference train_stage2.py:250-418, stage2.yaml val:)
+    val_cfg = getattr(cfg, "val", None) or {}
+    val_steps = int(val_cfg.get("validation_steps", 0) if hasattr(val_cfg, "get") else 0)
+    val_infer_steps = int(val_cfg.get("num_inference_steps", 40) if hasattr(val_cfg, "get") else 40)
+
+    def run_validation(step):
+        from hallo_tpu.train.validation import log_validation_stage2
+
+        models.params = state.params
+        item = dataset[0]
+        masks = tuple(tuple(x[None] for x in lvl) for lvl in item["masks"])
+        log_validation_stage2(
+            models, exp_dir, step,
+            ref_image=item["ref_pixels"],
+            audio_windows=item["audio_windows"],
+            face_emb=item["face_emb"],
+            face_region=item["face_region"],
+            masks=masks,
+            clip_length=f,
+            num_inference_steps=val_infer_steps,
+            seed=int(cfg.seed),
+        )
+
     rng = jax.random.PRNGKey(int(cfg.seed))
-    metrics_path = os.path.join(exp_dir, "metrics.jsonl")
+    metrics = MetricsLogger(exp_dir)
     t0 = time.time()
     for step in range(start_step, int(cfg.solver.max_train_steps)):
         batch = put_batch(next(batches))
         rng, sub = jax.random.split(rng)
-        state, metrics = step_fn(state, batch, sub)
+        state, step_metrics = step_fn(state, batch, sub)
         if step % 10 == 0:
-            line = {"step": step, "loss": float(metrics["loss"]),
-                    "grad_norm": float(metrics["grad_norm"]),
-                    "sec": round(time.time() - t0, 1)}
-            logger.info("%s", line)
-            with open(metrics_path, "a") as fh:
-                fh.write(json.dumps(line) + "\n")
+            line = dict(loss=float(step_metrics["loss"]),
+                        grad_norm=float(step_metrics["grad_norm"]),
+                        sec=round(time.time() - t0, 1))
+            logger.info("%s", {"step": step, **line})
+            metrics.log(step, **line)
         if (step + 1) % int(cfg.checkpointing_steps) == 0:
             ckpt.save_train_state(exp_dir, step + 1, state, keep=3)
+        if val_steps and (step + 1) % val_steps == 0:
+            run_validation(step + 1)
+    metrics.close()
 
     # fused final export (the reference's single net-N.pth,
     # train_stage2.py:944-953): all five module trees in one orbax dir

@@ -458,6 +458,41 @@ def test_vae_converter_oracle():
     )
 
 
+def test_load_guard_rejects_half_loaded_checkpoint(tmp_path):
+    """load_pretrained_params(min_loaded_fraction=...) must exit non-zero on
+    a found-but-wrong-layout checkpoint (VERDICT: silently half-loaded
+    checkpoints produced garbage with rc=0)."""
+    from hallo_tpu.convert.load_pretrained import load_pretrained_params
+
+    torch.manual_seed(3)
+    oracle = TVAE()
+    sd = {  # rename half the keys so they fail to map
+        (k if i % 2 else "bogus." + k): v
+        for i, (k, v) in enumerate(oracle.state_dict().items())
+    }
+    vae_dir = tmp_path / "vae"
+    vae_dir.mkdir()
+    torch.save(sd, vae_dir / "diffusion_pytorch_model.bin")
+
+    cfg = VAEConfig(
+        block_out_channels=(8, 16), layers_per_block=1,
+        latent_channels=4, norm_num_groups=4,
+    )
+    model = AutoencoderKL(cfg)
+    init = jax.jit(lambda k, a: model.init(k, a))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3))
+    )
+    with pytest.raises(RuntimeError, match="load incomplete"):
+        load_pretrained_params(
+            {"vae": init}, vae_model_path=str(vae_dir), min_loaded_fraction=0.99
+        )
+    # permissive mode still returns params
+    out = load_pretrained_params(
+        {"vae": init}, vae_model_path=str(vae_dir), min_loaded_fraction=0.0
+    )
+    assert "vae" in out
+
+
 def test_converter_fails_on_transposed_weight():
     """A deliberately wrong-layout checkpoint must NOT silently load: the
     converter's shape check reports it (and strict mode raises)."""

@@ -1,0 +1,100 @@
+"""Mask-geometry fixture tests.
+
+Pins the full landmark -> mask render chain (face/lip bbox, expansion,
+blur/normalize, background/sep-face separation — util.py:323-667 parity
+math) against checked-in goldens rendered from a recorded synthetic
+478-landmark set, so geometry regressions are caught numerically rather
+than only by eyeballing validation renders.
+
+Also exercises the production face-analysis backends (insightface /
+mediapipe) when importable — skipped in environments without them.
+
+Regenerate after an INTENDED geometry change:
+    HALLO_REGEN_GOLDEN=1 python -m pytest tests/test_mask_fixtures.py
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from hallo_tpu.utils import masks as mk
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden", "masks_fixture.npz")
+
+
+def synthetic_landmarks(width=512, height=512):
+    """Deterministic mediapipe-style 478-point landmark array: face oval at
+    the silhouette ids, lip ring at the lip ids, neutral points elsewhere."""
+    pts = np.full((478, 2), [width / 2, height / 2], np.float64)
+    n_sil = len(mk.SILHOUETTE_IDS)
+    theta = np.linspace(0, 2 * np.pi, n_sil, endpoint=False)
+    pts[mk.SILHOUETTE_IDS, 0] = width / 2 + 120 * np.cos(theta)
+    pts[mk.SILHOUETTE_IDS, 1] = height / 2 + 160 * np.sin(theta)
+    n_lip = len(mk.LIP_IDS)
+    theta = np.linspace(0, 2 * np.pi, n_lip, endpoint=False)
+    pts[mk.LIP_IDS, 0] = width / 2 + 45 * np.cos(theta)
+    pts[mk.LIP_IDS, 1] = height / 2 + 90 + 18 * np.sin(theta)
+    return pts
+
+
+def test_mask_chain_matches_golden():
+    h = w = 512
+    lm = synthetic_landmarks(w, h)
+    face = mk.face_mask_from_landmarks(lm, h, w, expand_ratio=1.2)
+    lip = mk.lip_mask_from_landmarks(lm, h, w, expand_ratio=2.0)
+    bg, sep, lip_blur = mk.separated_masks(face, lip)
+
+    arrays = dict(face=face, lip=lip, bg=bg, sep=sep, lip_blur=lip_blur)
+
+    if os.environ.get("HALLO_REGEN_GOLDEN") == "1":
+        os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
+        np.savez(GOLDEN_PATH, **arrays)
+        pytest.skip(f"golden regenerated at {GOLDEN_PATH}")
+
+    assert os.path.exists(GOLDEN_PATH), (
+        "golden missing — run with HALLO_REGEN_GOLDEN=1 once and commit it"
+    )
+    golden = np.load(GOLDEN_PATH)
+    for name, arr in arrays.items():
+        np.testing.assert_array_equal(arr, golden[name], err_msg=name)
+
+    # structural invariants independent of the golden
+    assert face.max() == 255 and lip.max() == 255
+    assert int(bg.max()) <= 255 and int(bg.min()) >= 0
+    # sep-face is saturating face-minus-lip: never exceeds the face blur
+    face_blur = mk.blur_mask(face, (64, 64), (51, 51))
+    assert (sep.astype(int) <= face_blur.astype(int)).all()
+
+
+def test_expand_region_clamps_by_shifting():
+    # near the right/bottom border the expanded box shifts inward, keeping
+    # its size (util.py:529-564)
+    out = mk.expand_region([400, 500, 400, 500], 512, 512, expand_ratio=2.0)
+    min_x, max_x, min_y, max_y = out
+    assert max_x == 512 and max_y == 512
+    assert max_x - min_x == 200 and max_y - min_y == 200
+
+
+def test_face_analyzer_real_backend_if_present():
+    """Production path with insightface/mediapipe — runs only where the
+    optional deps exist (they are absent in CI; the gated fallback path is
+    covered elsewhere)."""
+    has_backend = False
+    for mod in ("insightface", "mediapipe"):
+        try:
+            __import__(mod)
+            has_backend = True
+            break
+        except ImportError:
+            pass
+    if not has_backend:
+        pytest.skip("no insightface/mediapipe in this environment")
+
+    from hallo_tpu.data.face_analysis import FaceAnalyzer
+
+    rng = np.random.default_rng(0)
+    img = (rng.uniform(0, 255, (256, 256, 3))).astype(np.uint8)
+    analyzer = FaceAnalyzer()
+    result = analyzer.detect(img)  # noise image: must not crash
+    assert result is not None

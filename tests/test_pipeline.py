@@ -98,6 +98,17 @@ def _init_models(rng_key, h=32, f=4, m=2):
     return models
 
 
+def test_dynamic_allow_mask():
+    from hallo_tpu.diffusion.cache import make_allow_mask, make_skip_mask
+
+    allow = make_allow_mask(40, warmup=6, cooldown=4)
+    assert not allow[:6].any() and not allow[36:].any()
+    assert allow[6:36].all()
+    # the static uniform mask only skips inside the allowed band
+    skip = make_skip_mask(40, warmup=6, cooldown=4, stride=2)
+    assert not (skip & ~allow).any()
+
+
 def test_window_audio_embeddings_edge_clamp():
     # Matches the reference's clamped +-2 window (scripts/inference.py:95-116).
     emb = np.arange(5, dtype=np.float32)[:, None, None]  # (5, 1, 1)
@@ -106,6 +117,43 @@ def test_window_audio_embeddings_edge_clamp():
     np.testing.assert_array_equal(win[0, :, 0, 0], [0, 0, 0, 1, 2])
     np.testing.assert_array_equal(win[2, :, 0, 0], [0, 1, 2, 3, 4])
     np.testing.assert_array_equal(win[4, :, 0, 0], [2, 3, 4, 4, 4])
+
+
+@pytest.mark.slow
+def test_pipeline_dynamic_step_cache():
+    """step_cache='dynamic' (TeaCache-style on-device criterion) must stay
+    finite/in-range and close to the exact path at a tight threshold."""
+    h, f, m = 64, 4, 2
+    models = _init_models(jax.random.PRNGKey(0), h=h, f=f, m=m)
+
+    def run(cache, thresh=0.05):
+        pipe = FaceAnimatePipeline(
+            models, SchedulerConfig(), num_inference_steps=4,
+            guidance_scale=3.5, clip_length=f, n_motion_frames=m,
+            step_cache=cache, step_cache_threshold=thresh,
+        )
+        rng = np.random.default_rng(0)
+        ref = rng.uniform(-1, 1, size=(1, h, h, 3)).astype(np.float32)
+        audio = rng.normal(size=(f, 3, 2, 4)).astype(np.float32)
+        face_emb = rng.normal(size=(1, 16)).astype(np.float32)
+        region = np.ones((1, h, h, 3), np.float32)
+        hl = h // 8
+        masks = tuple(
+            tuple(np.ones((1, (hl // 2**d) ** 2), np.float32) for _ in range(3))
+            for d in range(4)
+        )
+        return pipe(ref, audio, face_emb, region, masks, seed=3)
+
+    exact = run(None)
+    dyn = run("dynamic")
+    assert dyn.shape == exact.shape
+    assert np.isfinite(dyn).all()
+    assert dyn.min() >= 0.0 and dyn.max() <= 1.0
+    # 4 steps with warmup 6 -> allow mask is all-False -> identical output
+    np.testing.assert_allclose(dyn, exact, atol=1e-5)
+
+    with pytest.raises(ValueError):
+        FaceAnimatePipeline(models, SchedulerConfig(), step_cache="bogus")
 
 
 @pytest.mark.slow

@@ -79,7 +79,20 @@ def test_train_stage2_two_steps(tmp_path):
                 audio_margin=1,
                 meta_paths=[meta],
             ),
-            solver=dict(learning_rate=1e-4, max_train_steps=2, max_grad_norm=1.0),
+            solver=dict(
+                learning_rate=1e-4,
+                max_train_steps=2,
+                max_grad_norm=1.0,
+                # exercise the reference training knobs: grad accumulation
+                # (optax.MultiSteps) + remat. mixed_precision stays "no"
+                # here — bf16 is EMULATED (very slow) on the CPU test host;
+                # the bf16 path is measured on the chip by
+                # scripts/bench_train_step.py.
+                gradient_accumulation_steps=2,
+                gradient_checkpointing=True,
+                mixed_precision="no",
+            ),
+            val=dict(validation_steps=2, num_inference_steps=2),
             uncond_img_ratio=0.05,
             uncond_audio_ratio=0.05,
             uncond_ia_ratio=0.05,
@@ -98,8 +111,11 @@ def test_train_stage2_two_steps(tmp_path):
     exp = tmp_path / "exp" / "t2"
     metrics = [json.loads(l) for l in open(exp / "metrics.jsonl")]
     assert metrics and np.isfinite(metrics[0]["loss"])
+    assert "ts" in metrics[0]  # written through MetricsLogger
     assert (exp / "checkpoint-2").is_dir()
     assert (exp / "final_net").is_dir()
+    # validation video rendered at step 2 (val.validation_steps=2)
+    assert (exp / "validation" / "step2.mp4").is_file()
 
 
 @pytest.mark.slow
@@ -126,8 +142,11 @@ def test_train_stage1_two_steps_and_resume(tmp_path):
                     meta_paths=[meta],
                 ),
                 solver=dict(
-                    learning_rate=1e-4, max_train_steps=max_steps, max_grad_norm=1.0
+                    learning_rate=1e-4, max_train_steps=max_steps,
+                    max_grad_norm=1.0,
+                    mixed_precision="no",  # bf16 is emulated/slow on CPU
                 ),
+                val=dict(validation_steps=4, num_inference_steps=2),
                 uncond_ratio=0.1,
                 noise_offset=0.05,
                 snr_gamma=5.0,
@@ -159,3 +178,5 @@ def test_train_stage1_two_steps_and_resume(tmp_path):
     assert all(np.isfinite(m["loss"]) for m in metrics)
     for name in ("reference_net", "denoising_net", "face_locator", "image_proj"):
         assert (exp / f"final_{name}").is_dir()
+    # validation stills rendered at step 4 in the resumed run
+    assert (exp / "validation" / "step4_sample0.png").is_file()
