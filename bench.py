@@ -70,6 +70,7 @@ def main() -> None:
     # (diffusion/cache.py) — the quality-traded fast mode; the default
     # (exact) path is the headline number.
     step_cache = os.environ.get("HALLO_BENCH_STEP_CACHE") or None
+    cache_thresh = float(os.environ.get("HALLO_BENCH_CACHE_THRESH", "0.10"))
     pipe = FaceAnimatePipeline(
         models,
         SchedulerConfig(),
@@ -78,6 +79,7 @@ def main() -> None:
         clip_length=clip,
         n_motion_frames=m,
         step_cache=step_cache,
+        step_cache_threshold=cache_thresh,
     )
     # HALLO_BENCH_BATCH > 1 measures the long-form config (BASELINE.md
     # config 4): several identities generated in one batched clip program.
