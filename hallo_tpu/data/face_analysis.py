@@ -7,6 +7,10 @@ clip. This module exposes one interface with backends:
 
 - "insightface"/"mediapipe": used when those packages are installed
   (production parity).
+- "onnx-jax": the SCRFD + ArcFace .onnx model FILES executed through JAX
+  (hallo_tpu/data/insight_jax.py) — production-parity detection and
+  identity embedding WITHOUT onnxruntime/insightface installed. Picked
+  automatically when the model files exist under `model_path`.
 - "opencv": a dependency-free fallback (Haar cascade detection, heuristic
   lip box, zero embedding) so the pipeline runs end-to-end in minimal
   environments. NOT identity-preserving — a warning is emitted.
@@ -37,6 +41,7 @@ class FaceAnalyzer:
     def __init__(self, model_path: Optional[str] = None, backend: str = "auto"):
         self.backend = backend
         self._insight = None
+        self._onnx_jax = None
         self._mediapipe = None
         self._cascade = None
         if backend in ("auto", "insightface"):
@@ -55,6 +60,24 @@ class FaceAnalyzer:
         if self._insight is None:
             if backend == "insightface":
                 raise RuntimeError("insightface backend requested but unavailable")
+        if self._insight is None and backend in ("auto", "onnx-jax"):
+            # Same .onnx model files, executed through JAX (no onnxruntime).
+            try:
+                from hallo_tpu.data.insight_jax import InsightJaxApp
+
+                self._onnx_jax = InsightJaxApp(
+                    root=model_path or "./pretrained_models/face_analysis"
+                )
+                self.backend = "onnx-jax"
+                logger.info(
+                    "face analysis: SCRFD+ArcFace onnx weights via the JAX "
+                    "executor (production-parity detection/embedding)"
+                )
+            except FileNotFoundError:
+                if backend == "onnx-jax":
+                    raise
+                self._onnx_jax = None
+        if self._insight is None and self._onnx_jax is None:
             self.backend = "opencv"
             logger.warning(
                 "insightface unavailable; falling back to OpenCV Haar detection "
@@ -90,6 +113,20 @@ class FaceAnalyzer:
                 )
                 f = faces[0]
                 return FaceResult(tuple(f["bbox"]), np.asarray(f["embedding"]))
+            return FaceResult((0, 0, w, h), np.zeros(512, np.float32))
+
+        if self._onnx_jax is not None:
+            faces = self._onnx_jax.get(image_rgb)
+            if faces:
+                f = max(
+                    faces,
+                    key=lambda f: (f["bbox"][2] - f["bbox"][0])
+                    * (f["bbox"][3] - f["bbox"][1]),
+                )
+                return FaceResult(
+                    tuple(float(v) for v in f["bbox"]),
+                    np.asarray(f["embedding"], np.float32),
+                )
             return FaceResult((0, 0, w, h), np.zeros(512, np.float32))
 
         if self._cascade is not None:
