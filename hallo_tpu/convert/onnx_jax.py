@@ -400,6 +400,47 @@ class OnnxExecutor:
             out = out + b.reshape((1, -1) + (1,) * spatial)
         return out
 
+    def _op_convtranspose(self, xp, a, x, w, b=None):
+        spatial = x.ndim - 2
+        strides = _pair(a.get("strides"), 1, spatial)
+        dilations = _pair(a.get("dilations"), 1, spatial)
+        groups = int(a.get("group", 1))
+        if groups != 1:
+            raise NotImplementedError("grouped ConvTranspose")
+        pads = _conv_padding(a.get("pads"), spatial)
+        out_pad = _pair(a.get("output_padding"), 0, spatial)
+        # ONNX ConvTranspose == gradient of Conv: lhs-dilated conv with the
+        # kernel spatially flipped and I/O channel axes swapped.
+        k = w.shape[2:]
+        w_flipped = jnp.flip(w, axis=tuple(range(2, w.ndim)))
+        w_t = jnp.swapaxes(w_flipped, 0, 1)  # (I, O, ...) -> (O, I, ...)
+        conv_pads = []
+        for i in range(spatial):
+            eff = (k[i] - 1) * dilations[i] + 1
+            conv_pads.append(
+                (eff - 1 - pads[i][0], eff - 1 - pads[i][1] + out_pad[i])
+            )
+        dn = ("NCHW", "OIHW", "NCHW") if spatial == 2 else None
+        out = jax.lax.conv_general_dilated(
+            x, w_t, (1,) * spatial, conv_pads,
+            lhs_dilation=strides,
+            rhs_dilation=dilations,
+            dimension_numbers=dn,
+        )
+        if b is not None:
+            out = out + b.reshape((1, -1) + (1,) * spatial)
+        return out
+
+    def _op_instancenormalization(self, xp, a, x, scale, bias):
+        eps = a.get("epsilon", 1e-5)
+        axes = tuple(range(2, x.ndim))
+        mu = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, axis=axes, keepdims=True)
+        shape = (1, -1) + (1,) * (x.ndim - 2)
+        return (x - mu) * jax.lax.rsqrt(var + eps) * scale.reshape(
+            shape
+        ) + bias.reshape(shape)
+
     def _op_batchnormalization(self, xp, a, x, scale, bias, mean, var):
         eps = a.get("epsilon", 1e-5)
         shape = (1, -1) + (1,) * (x.ndim - 2)

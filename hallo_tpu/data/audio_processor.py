@@ -81,6 +81,7 @@ class AudioProcessor:
         self.fps = fps
         self.only_last_features = only_last_features
         self.audio_separator = None
+        self._mdx_jax = None
         if audio_separator_model_path:
             try:  # optional ONNX vocal separator (MDX-Net Kim_Vocal_2)
                 from audio_separator.separator import Separator  # type: ignore
@@ -91,6 +92,24 @@ class AudioProcessor:
                 self.audio_separator.load_model(audio_separator_model_path)
             except Exception:
                 self.audio_separator = None
+            if self.audio_separator is None:
+                # Same .onnx file through the JAX executor (no onnxruntime).
+                import os
+
+                if os.path.isfile(audio_separator_model_path):
+                    try:
+                        from hallo_tpu.data.mdx_separator import MdxSeparatorJax
+
+                        self._mdx_jax = MdxSeparatorJax(
+                            audio_separator_model_path, output_sr=sample_rate
+                        )
+                    except Exception as e:  # unsupported graph/op -> skip
+                        import logging
+
+                        logging.getLogger(__name__).warning(
+                            "MDX-Net JAX separator unavailable (%s); "
+                            "proceeding without vocal separation", e
+                        )
 
         if wav2vec_params is None:
             raise ValueError("wav2vec_params (converted HF weights) required")
@@ -120,6 +139,9 @@ class AudioProcessor:
                 sr = self.sample_rate
             except Exception:
                 pass
+        elif self._mdx_jax is not None:
+            data = self._mdx_jax.separate(data, sr)
+            sr = self.sample_rate
         data = resample(data, sr, self.sample_rate)
         data = np.asarray(normalize_waveform(data[None]))[0]
 
