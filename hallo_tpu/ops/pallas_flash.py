@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -204,7 +205,12 @@ def _attention_kernel_t_q8(
 
 
 def _attention_kernel_packed(
-    *refs, has_bias: bool, num_kv_tiles: int, heads: int, head_dim: int
+    *refs,
+    has_bias: bool,
+    num_kv_tiles: int,
+    heads: int,
+    head_dim: int,
+    with_lse: bool = False,
 ):
     """ALL-HEADS-RESIDENT tile: q/k/v arrive as natural (block, C = H*D)
     slabs (C-minor — the layout every surrounding matmul wants), the head
@@ -220,10 +226,16 @@ def _attention_kernel_packed(
     Per-head math is identical to _attention_kernel_t (transposed scores +
     transposed-PV accumulator — the d<128 pass-count optimum); the final
     (d, bq) -> (bq, d) transpose happens once per q-tile in VMEM."""
+    refs = list(refs)
     if has_bias:
-        q_ref, k_ref, v_ref, bias_ref, o_ref, m_scratch, l_scratch, acc_scratch = refs
+        q_ref, k_ref, v_ref, bias_ref = refs[:4]
+        del refs[:4]
     else:
-        q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch = refs
+        q_ref, k_ref, v_ref = refs[:3]
+        del refs[:3]
+    o_ref = refs.pop(0)
+    lse_ref = refs.pop(0) if with_lse else None
+    m_scratch, l_scratch, acc_scratch = refs
     kv_idx = pl.program_id(2)
 
     @pl.when(kv_idx == 0)
@@ -267,10 +279,19 @@ def _attention_kernel_packed(
             o_ref[0, :, hh * d:(hh + 1) * d] = jnp.swapaxes(
                 acc_scratch[hh] * l_inv, 0, 1
             ).astype(o_ref.dtype)
+            if lse_ref is not None:
+                # base-2 logsumexp of the (already exp2-domain) logits; rows
+                # with every key masked get +huge so the backward's
+                # p = exp2(st - lse) recomputes exactly 0 for them.
+                lse = m_scratch[hh] + jnp.log2(l_scratch[hh])
+                lse_ref[0, hh] = jnp.where(
+                    l_scratch[hh] == 0.0, -MASK_VALUE, lse
+                )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("heads", "scale", "block_q", "block_k")
+    jax.jit,
+    static_argnames=("heads", "scale", "block_q", "block_k", "with_lse"),
 )
 def _flash_forward_packed(
     q: jax.Array,  # (B, Lq, C) natural, C = heads * d
@@ -281,6 +302,7 @@ def _flash_forward_packed(
     scale: float,
     block_q: int,
     block_k: int,
+    with_lse: bool = False,
 ) -> jax.Array:
     b, lq, c = q.shape
     lk = k.shape[1]
@@ -325,18 +347,34 @@ def _flash_forward_packed(
         )
         inputs.append(full_bias)
 
-    out = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((b, lq_p, c), v.dtype)]
+    out_specs = [pl.BlockSpec((1, block_q, c), lambda bi, qi, ki: (bi, qi, 0))]
+    if with_lse:
+        # (B, heads, 8, Lq): 8 replicated sublane rows so backward kernels
+        # can load (8, block_q) slabs and take [:1] — same trick as the
+        # m/l scratch layout (1-D stores/loads are relayout-hostile).
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, heads, 8, lq_p), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (1, heads, 8, block_q), lambda bi, qi, ki: (bi, 0, 0, qi)
+            )
+        )
+
+    res = pl.pallas_call(
         functools.partial(
             _attention_kernel_packed,
             has_bias=has_bias,
             num_kv_tiles=num_kv_tiles,
             heads=heads,
             head_dim=d,
+            with_lse=with_lse,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, lq_p, c), v.dtype),
+        out_shape=out_shape,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, c), lambda bi, qi, ki: (bi, qi, 0)),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((heads, 8, block_q), jnp.float32),
             pltpu.VMEM((heads, 8, block_q), jnp.float32),
@@ -347,7 +385,272 @@ def _flash_forward_packed(
         ),
     )(*inputs)
 
-    return out[:, :lq, :]
+    if with_lse:
+        return res[0][:, :lq, :], res[1][:, :, :1, :lq]
+    return res[0][:, :lq, :]
+
+
+LN2 = 1.0 / LOG2E
+
+
+def _dkv_kernel_packed(
+    *refs, has_bias: bool, num_q_tiles: int, heads: int, head_dim: int
+):
+    """Flash-attention backward, dK/dV pass (packed all-heads layout).
+
+    Standard two-pass flash backward (Dao 2022 recurrence, re-derived for
+    the exp2 domain of the forward): P is recomputed exactly from the saved
+    base-2 logsumexp, so no scores tensor ever reaches HBM — the XLA-vjp
+    fallback materializes (B, H, Lq, Lk) f32 scores, which at the stage-2
+    training shape (14x8x4096x4096x4B = 7.5 GB per spatial attention) cannot
+    fit; this kernel is what makes full-width 512^2 training possible.
+
+    grid (b, kv_tile, q_tile) — accumulates dk/dv over q tiles in scratch.
+    Inputs q arrives pre-scaled by sm_scale*log2(e) (as in forward), k/v
+    raw; dk picks up the 1/log2(e) factor at store, dv needs none.
+    """
+    refs = list(refs)
+    if has_bias:
+        q_ref, do_ref, k_ref, v_ref, lse_ref, dd_ref, bias_ref = refs[:7]
+        del refs[:7]
+    else:
+        q_ref, do_ref, k_ref, v_ref, lse_ref, dd_ref = refs[:6]
+        del refs[:6]
+    dk_ref, dv_ref, dk_acc, dv_acc = refs
+    q_idx = pl.program_id(2)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    d = head_dim
+    for hh in range(heads):
+        sl = slice(hh * d, (hh + 1) * d)
+        q = q_ref[0][:, sl]  # (bq, d), pre-scaled
+        do = do_ref[0][:, sl]  # (bq, d)
+        k = k_ref[0][:, sl]  # (bk, d)
+        v = v_ref[0][:, sl]
+        st = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bk, bq) — exp2-domain logits, transposed like the forward
+        if has_bias:
+            st = st + bias_ref[0].astype(jnp.float32)
+        p = jnp.exp2(st - lse_ref[0, hh][:1])  # == softmax weights exactly
+        # dVᵀ (d, bk) += dOᵀ Pᵀ
+        dv_acc[hh] += jax.lax.dot_general(
+            do, p.astype(do.dtype), (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dP (bk, bq) = V dOᵀ ; dS = P ∘ (dP - D)
+        dp = jax.lax.dot_general(
+            v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - dd_ref[0, hh][:1])
+        # dKᵀ (d, bk) += Q_scaledᵀ dSᵀ  (scale*log2e folded in q)
+        dk_acc[hh] += jax.lax.dot_general(
+            q, ds.astype(q.dtype), (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(q_idx == num_q_tiles - 1)
+    def _store():
+        for hh in range(heads):
+            sl = slice(hh * d, (hh + 1) * d)
+            dk_ref[0, :, sl] = jnp.swapaxes(dk_acc[hh] * LN2, 0, 1).astype(
+                dk_ref.dtype
+            )
+            dv_ref[0, :, sl] = jnp.swapaxes(dv_acc[hh], 0, 1).astype(
+                dv_ref.dtype
+            )
+
+
+def _dq_kernel_packed(
+    *refs, has_bias: bool, num_kv_tiles: int, heads: int, head_dim: int,
+    scale: float,
+):
+    """Flash-attention backward, dQ pass. grid (b, q_tile, kv_tile) —
+    accumulates dq over kv tiles; see _dkv_kernel_packed."""
+    refs = list(refs)
+    if has_bias:
+        q_ref, do_ref, k_ref, v_ref, lse_ref, dd_ref, bias_ref = refs[:7]
+        del refs[:7]
+    else:
+        q_ref, do_ref, k_ref, v_ref, lse_ref, dd_ref = refs[:6]
+        del refs[:6]
+    dq_ref, dq_acc = refs
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    d = head_dim
+    for hh in range(heads):
+        sl = slice(hh * d, (hh + 1) * d)
+        q = q_ref[0][:, sl]
+        do = do_ref[0][:, sl]
+        k = k_ref[0][:, sl]
+        v = v_ref[0][:, sl]
+        st = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if has_bias:
+            st = st + bias_ref[0].astype(jnp.float32)
+        p = jnp.exp2(st - lse_ref[0, hh][:1])
+        dp = jax.lax.dot_general(
+            v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - dd_ref[0, hh][:1])  # (bk, bq), natural domain
+        # dQᵀ (d, bq) += K_rawᵀ dS
+        dq_acc[hh] += jax.lax.dot_general(
+            k, ds.astype(k.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(kv_idx == num_kv_tiles - 1)
+    def _store():
+        for hh in range(heads):
+            sl = slice(hh * d, (hh + 1) * d)
+            dq_ref[0, :, sl] = jnp.swapaxes(dq_acc[hh] * scale, 0, 1).astype(
+                dq_ref.dtype
+            )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "scale", "block_q", "block_k")
+)
+def _flash_backward_packed(
+    q: jax.Array,  # (B, Lq, C)
+    k: jax.Array,  # (B, Lk, C)
+    v: jax.Array,
+    bias: Optional[jax.Array],  # (B, Lk) natural-domain additive or None
+    out: jax.Array,  # (B, Lq, C) forward output
+    lse: jax.Array,  # (B, heads, 1, Lq) base-2 logsumexp from forward
+    g: jax.Array,  # (B, Lq, C) output cotangent
+    heads: int,
+    scale: float,
+    block_q: int,
+    block_k: int,
+):
+    b, lq, c = q.shape
+    lk = k.shape[1]
+    d = c // heads
+
+    qt = q * jnp.asarray(scale * LOG2E, q.dtype)
+    block_q = min(block_q, max(LANES, lq))
+    block_k = min(block_k, max(LANES, lk))
+    qt = _pad_to(qt, 1, block_q)
+    do = _pad_to(g.astype(q.dtype), 1, block_q)
+    kt = _pad_to(k, 1, block_k)
+    vt = _pad_to(v, 1, block_k)
+    lq_p, lk_p = qt.shape[1], kt.shape[1]
+
+    # D_i = rowsum(dO ∘ O) per head, padded-q rows +huge-lse ⇒ p = 0 there
+    dd = (g.astype(jnp.float32) * out.astype(jnp.float32)).reshape(
+        b, lq, heads, d
+    ).sum(-1).transpose(0, 2, 1)  # (B, heads, Lq)
+    dd = _pad_to(dd[:, :, None, :], 3, block_q)  # (B, heads, 1, Lq_p)
+    lse_p = _pad_to(lse, 3, block_q, value=-MASK_VALUE)
+    dd = jnp.broadcast_to(dd, (b, heads, 8, lq_p))
+    lse_p = jnp.broadcast_to(lse_p, (b, heads, 8, lq_p))
+
+    has_bias = bias is not None or lk_p != lk
+    if has_bias:
+        full_bias = jnp.zeros((b, lk_p), jnp.float32)
+        if lk_p != lk:
+            pad_mask = jnp.arange(lk_p) >= lk
+            full_bias = jnp.where(pad_mask[None, :], MASK_VALUE, 0.0)
+            full_bias = jnp.broadcast_to(full_bias, (b, lk_p))
+        if bias is not None:
+            user = bias.reshape(b, -1).astype(jnp.float32) * LOG2E
+            full_bias = (
+                full_bias.at[:, :lk].add(user) if lk_p != lk else full_bias + user
+            )
+        full_bias = full_bias.reshape(b, lk_p, 1)
+
+    num_q_tiles = lq_p // block_q
+    num_kv_tiles = lk_p // block_k
+
+    qspec = lambda bi, i, j: (bi, j, 0)  # noqa: E731 (q/do vary on LAST dim)
+    kspec = lambda bi, i, j: (bi, i, 0)  # noqa: E731
+    common_dkv = [
+        pl.BlockSpec((1, block_q, c), qspec),  # q
+        pl.BlockSpec((1, block_q, c), qspec),  # do
+        pl.BlockSpec((1, block_k, c), kspec),  # k
+        pl.BlockSpec((1, block_k, c), kspec),  # v
+        pl.BlockSpec((1, heads, 8, block_q), lambda bi, i, j: (bi, 0, 0, j)),
+        pl.BlockSpec((1, heads, 8, block_q), lambda bi, i, j: (bi, 0, 0, j)),
+    ]
+    inputs = [qt, do, kt, vt, lse_p, dd]
+    if has_bias:
+        common_dkv.append(
+            pl.BlockSpec((1, block_k, 1), lambda bi, i, j: (bi, i, 0))
+        )
+        inputs.append(full_bias)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_kernel_packed,
+            has_bias=has_bias,
+            num_q_tiles=num_q_tiles,
+            heads=heads,
+            head_dim=d,
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, lk_p, c), k.dtype),
+            jax.ShapeDtypeStruct((b, lk_p, c), v.dtype),
+        ],
+        grid=(b, num_kv_tiles, num_q_tiles),
+        in_specs=common_dkv,
+        out_specs=[
+            pl.BlockSpec((1, block_k, c), kspec),
+            pl.BlockSpec((1, block_k, c), kspec),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((heads, d, block_k), jnp.float32),
+            pltpu.VMEM((heads, d, block_k), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(*inputs)
+
+    qspec2 = lambda bi, i, j: (bi, i, 0)  # noqa: E731 (q varies on dim 1)
+    kspec2 = lambda bi, i, j: (bi, j, 0)  # noqa: E731
+    dq_specs = [
+        pl.BlockSpec((1, block_q, c), qspec2),
+        pl.BlockSpec((1, block_q, c), qspec2),
+        pl.BlockSpec((1, block_k, c), kspec2),
+        pl.BlockSpec((1, block_k, c), kspec2),
+        pl.BlockSpec((1, heads, 8, block_q), lambda bi, i, j: (bi, 0, 0, i)),
+        pl.BlockSpec((1, heads, 8, block_q), lambda bi, i, j: (bi, 0, 0, i)),
+    ]
+    if has_bias:
+        dq_specs.append(
+            pl.BlockSpec((1, block_k, 1), lambda bi, i, j: (bi, j, 0))
+        )
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_kernel_packed,
+            has_bias=has_bias,
+            num_kv_tiles=num_kv_tiles,
+            heads=heads,
+            head_dim=d,
+            scale=scale,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, lq_p, c), q.dtype),
+        grid=(b, num_q_tiles, num_kv_tiles),
+        in_specs=dq_specs,
+        out_specs=pl.BlockSpec((1, block_q, c), qspec2),
+        scratch_shapes=[pltpu.VMEM((heads, d, block_q), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(*inputs)
+
+    return dq[:, :lq], dk[:, :lk], dv[:, :lk]
 
 
 def _xla_reference_packed(q, k, v, bias, heads, scale):
@@ -372,18 +675,35 @@ def _flash_packed(q, k, v, bias, heads, scale, block_q, block_k):
 
 
 def _flash_packed_fwd(q, k, v, bias, heads, scale, block_q, block_k):
-    out = _flash_forward_packed(q, k, v, bias, heads, scale, block_q, block_k)
-    return out, (q, k, v, bias)
+    out, lse = _flash_forward_packed(
+        q, k, v, bias, heads, scale, block_q, block_k, with_lse=True
+    )
+    return out, (q, k, v, bias, out, lse)
 
 
 def _flash_packed_bwd(heads, scale, block_q, block_k, residuals, g):
-    q, k, v, bias = residuals
-    _, vjp = jax.vjp(
-        lambda q, k, v, bb: _xla_reference_packed(q, k, v, bb, heads, scale),
-        q, k, v, bias,
+    """Pallas flash backward by default (no scores tensor in HBM — required
+    at training scale where the XLA recompute's (B,H,Lq,Lk) f32 scores run
+    to gigabytes). HALLO_FLASH_BWD=xla selects the XLA-vjp recompute
+    (exact dbias, useful for small shapes / debugging).
+
+    NOTE: the Pallas path returns a ZERO cotangent for `bias` — every bias
+    in this codebase is a constant mask (CFG-uncond ref blocking /
+    key-padding), never a trained parameter. Use the env fallback if a
+    differentiable bias is ever introduced."""
+    q, k, v, bias, out, lse = residuals
+    if os.environ.get("HALLO_FLASH_BWD", "pallas") == "xla":
+        _, vjp = jax.vjp(
+            lambda q, k, v, bb: _xla_reference_packed(q, k, v, bb, heads, scale),
+            q, k, v, bias,
+        )
+        dq, dk, dv, dbias = vjp(g)
+        return dq, dk, dv, (None if bias is None else dbias)
+    dq, dk, dv = _flash_backward_packed(
+        q, k, v, bias, out, lse, g, heads, scale,
+        min(block_q, 512), min(block_k, 512),
     )
-    dq, dk, dv, dbias = vjp(g)
-    return dq, dk, dv, (None if bias is None else dbias)
+    return dq, dk, dv, (None if bias is None else jnp.zeros_like(bias))
 
 
 _flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)

@@ -201,17 +201,102 @@ def test_flash_packed_grad_matches_oracle():
     v = jnp.asarray(rng.normal(size=(b, lk, c)), jnp.float32)
 
     def loss_kernel(q, k, v):
-        with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(
-                flash_attention_packed(
-                    q, k, v, heads=heads, block_q=128, block_k=128
-                ) ** 2
-            )
+        return jnp.sum(
+            flash_attention_packed(
+                q, k, v, heads=heads, block_q=128, block_k=128
+            ) ** 2
+        )
 
     def loss_ref(q, k, v):
         return jnp.sum(_xla_reference_packed(q, k, v, None, heads, d ** -0.5) ** 2)
 
-    g1 = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
+
+
+def test_flash_packed_pallas_backward_vs_oracle():
+    """Handwritten Pallas backward (dq/dk/dv from the saved base-2 lse,
+    no scores in HBM) vs the XLA-vjp oracle — incl. per-key bias, kv
+    padding, and d=80. The bias cotangent is intentionally zero in the
+    Pallas path (constant masks only); compare only dq/dk/dv."""
+    import os
+
+    from hallo_tpu.ops.pallas_flash import (
+        _xla_reference_packed,
+        flash_attention_packed,
+    )
+
+    rng = np.random.default_rng(13)
+    for (b, lq, lk, heads, d, bias_on) in [
+        (1, 128, 256, 2, 40, False),
+        (1, 200, 320, 2, 40, True),   # non-multiple lengths + bias mask
+        (1, 128, 128, 2, 80, False),
+        (2, 128, 32, 2, 40, False),   # short KV (audio) padding path
+    ]:
+        c = heads * d
+        q = jnp.asarray(rng.normal(size=(b, lq, c)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(b, lk, c)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, lk, c)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(b, lq, c)), jnp.float32)
+        bias = None
+        if bias_on:
+            bias = jnp.where(jnp.arange(lk)[None, :] >= lk // 2, -1e9, 0.0)
+            bias = jnp.broadcast_to(bias.astype(jnp.float32), (b, lk))
+
+        def loss_kernel(q, k, v):
+            out = flash_attention_packed(
+                q, k, v, heads=heads, bias=bias, block_q=128, block_k=128
+            )
+            return jnp.sum(out * w)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(
+                _xla_reference_packed(q, k, v, bias, heads, d ** -0.5) * w
+            )
+
+        assert os.environ.get("HALLO_FLASH_BWD", "pallas") == "pallas"
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b_ in zip("q k v".split(), g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=3e-4,
+                err_msg=f"d{name} {(b, lq, lk, heads, d, bias_on)}",
+            )
+
+
+def test_flash_packed_backward_env_fallback(monkeypatch):
+    """HALLO_FLASH_BWD=xla selects the recompute path (exact dbias)."""
+    from hallo_tpu.ops.pallas_flash import (
+        _xla_reference_packed,
+        flash_attention_packed,
+    )
+
+    monkeypatch.setenv("HALLO_FLASH_BWD", "xla")
+    rng = np.random.default_rng(14)
+    b, lq, lk, heads, d = 1, 128, 128, 2, 40
+    c = heads * d
+    q = jnp.asarray(rng.normal(size=(b, lq, c)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, lk, c)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, lk, c)), jnp.float32)
+
+    def loss_kernel(q):
+        return jnp.sum(
+            flash_attention_packed(
+                q, k, v, heads=heads, block_q=128, block_k=128
+            ) ** 2
+        )
+
+    def loss_ref(q):
+        return jnp.sum(_xla_reference_packed(q, k, v, None, heads, d ** -0.5) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gk = jax.grad(loss_kernel)(q)
+    np.testing.assert_allclose(
+        np.asarray(gk),
+        np.asarray(jax.grad(loss_ref)(q)),
+        atol=2e-4,
+    )
