@@ -1,0 +1,145 @@
+"""Quality audit of the step-cache acceleration modes vs the exact path.
+
+Runs the SAME clip program inputs through the exact pipeline and through
+each caching mode (uniform / dynamic at one or more thresholds), then
+reports per-mode PSNR / mean-abs-diff of the decoded frames against the
+exact output, plus the measured clip time. This anchors the quality claim
+behind the opt-in fast modes (BASELINE.md) with a number, not an
+adjective.
+
+Caveat (documented, not hidden): weights are random-init in this
+environment, so absolute perceptual quality is meaningless — but the
+caching error is measured THROUGH the same dynamics that produce the real
+output (40-step DDIM trajectory of a fixed network), so the relative
+ranking of modes and the order of magnitude of the deviation transfer.
+With a real checkpoint loaded (scripts/inference.py --net), the same
+script measures production numbers.
+
+Run ONLY on the TPU. Env: HALLO_EVAL_SCALE=tiny|full,
+HALLO_EVAL_THRESHOLDS="0.05,0.10,0.20", HALLO_EVAL_STEPS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(msg):
+    print(f"# eval: {msg}", file=sys.stderr, flush=True)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return 99.0  # identical output (e.g. no steps skipped); JSON-safe
+    return float(10.0 * np.log10(255.0 ** 2 / mse))
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    import jax.numpy as jnp
+
+    from hallo_tpu.config import SchedulerConfig
+    from hallo_tpu.pipelines.face_animate import FaceAnimatePipeline
+    from hallo_tpu.utils.factory import build_models, dummy_clip_inputs
+
+    scale = os.environ.get("HALLO_EVAL_SCALE", "full")
+    steps = int(os.environ.get("HALLO_EVAL_STEPS", "40"))
+    thresholds = [
+        float(t)
+        for t in os.environ.get("HALLO_EVAL_THRESHOLDS", "0.10").split(",")
+    ]
+    if scale == "tiny":
+        height = width = 64
+        clip = 4
+        dtype = jnp.float32
+    else:
+        height = width = 512
+        clip = 16
+        dtype = jnp.bfloat16
+    m = 2
+
+    log(f"building models scale={scale}")
+    models = build_models(
+        scale, dtype=dtype, init_key=jax.random.PRNGKey(0),
+        height=height, width=width, clip_length=clip, n_motion_frames=m,
+        param_dtype=(dtype if scale == "full" else None),
+    )
+    inputs = dummy_clip_inputs(models, height, width, clip, m, batch=1)
+    ref_image = jnp.asarray(inputs["ref_image"])
+    motion = jnp.repeat(ref_image[:, None], m, axis=1)
+    ref_pixels = jnp.concatenate([ref_image[:, None], motion], axis=1)
+    latents = jax.random.normal(
+        jax.random.PRNGKey(42), (1, clip, height // 8, width // 8, 4),
+        jnp.float32,
+    )
+    clip_audio = jnp.asarray(inputs["audio_windows"])[None]
+    args_tail = (
+        clip_audio, jnp.asarray(inputs["face_emb"]),
+        jnp.asarray(inputs["face_region"]),
+        tuple(tuple(jnp.asarray(x) for x in lvl) for lvl in inputs["masks"]),
+        jnp.ones(3),
+    )
+
+    def run(step_cache, thresh):
+        pipe = FaceAnimatePipeline(
+            models, SchedulerConfig(), num_inference_steps=steps,
+            guidance_scale=3.5, clip_length=clip, n_motion_frames=m,
+            step_cache=step_cache, step_cache_threshold=thresh,
+        )
+        t0 = time.perf_counter()
+        frames = np.asarray(
+            pipe._generate_clip(models.params, ref_pixels, latents, *args_tail)[0]
+        )
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        frames = np.asarray(
+            pipe._generate_clip(models.params, ref_pixels, latents, *args_tail)[0]
+        )
+        run_s = time.perf_counter() - t0
+        return frames, run_s, compile_s
+
+    log("running exact path")
+    exact, exact_s, c0 = run(None, 0.0)
+    log(f"exact {exact_s:.2f}s/clip (compile {c0:.0f}s)")
+
+    modes = [("uniform", 0.0)] + [("dynamic", t) for t in thresholds]
+    results = []
+    for mode, th in modes:
+        log(f"running {mode} thresh={th}")
+        frames, run_s, comp_s = run(mode, th)
+        entry = {
+            "mode": mode,
+            "threshold": th if mode == "dynamic" else None,
+            "psnr_vs_exact_db": round(psnr(frames, exact), 2),
+            "mean_abs_diff": round(
+                float(np.mean(np.abs(frames.astype(np.float64) - exact))), 3
+            ),
+            "clip_seconds": round(run_s, 3),
+            "speedup_vs_exact": round(exact_s / run_s, 3),
+        }
+        log(str(entry))
+        results.append(entry)
+
+    print(json.dumps({
+        "metric": "step_cache_quality_audit",
+        "exact_clip_seconds": round(exact_s, 3),
+        "scale": scale,
+        "steps": steps,
+        "weights": "random-init (relative numbers; see docstring)",
+        "modes": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()
