@@ -71,6 +71,7 @@ def main() -> None:
     # (exact) path is the headline number.
     step_cache = os.environ.get("HALLO_BENCH_STEP_CACHE") or None
     cache_thresh = float(os.environ.get("HALLO_BENCH_CACHE_THRESH", "0.10"))
+    cfg_stride = int(os.environ.get("HALLO_BENCH_CFG_STRIDE", "1"))
     pipe = FaceAnimatePipeline(
         models,
         SchedulerConfig(),
@@ -80,6 +81,7 @@ def main() -> None:
         n_motion_frames=m,
         step_cache=step_cache,
         step_cache_threshold=cache_thresh,
+        cfg_cache_stride=cfg_stride,
     )
     # HALLO_BENCH_BATCH > 1 measures the long-form config (BASELINE.md
     # config 4): several identities generated in one batched clip program.
@@ -159,6 +161,7 @@ def main() -> None:
             "steps": steps,
             "batch": batch,
             "step_cache": step_cache,
+            "cfg_cache_stride": cfg_stride,
             "baseline_note": "A100 fps is an estimate; reference publishes none",
         },
     }

@@ -39,6 +39,30 @@ def make_skip_mask(
     return skip
 
 
+def make_uncond_mask(
+    num_steps: int,
+    stride: int,
+    warmup: int = 6,
+    cooldown: int = 4,
+) -> np.ndarray:
+    """Boolean (num_steps,): True = recompute the CFG UNCOND half this step.
+
+    Adaptive-guidance-style CFG caching: the unconditional prediction
+    drifts slowly across the trajectory, so between warmup and cooldown it
+    is recomputed only every `stride`-th step and reused otherwise (the
+    conditional half always runs; the guidance combine uses the cached
+    uncond). stride=1 disables caching (all True)."""
+    mask = np.ones(num_steps, dtype=bool)
+    if stride <= 1:
+        return mask
+    for i in range(num_steps):
+        if i < max(1, warmup) or i >= num_steps - cooldown:
+            continue
+        if (i - warmup) % stride != 0:
+            mask[i] = False
+    return mask
+
+
 def make_allow_mask(
     num_steps: int, warmup: int = 6, cooldown: int = 4
 ) -> np.ndarray:

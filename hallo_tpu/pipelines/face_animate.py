@@ -202,6 +202,7 @@ class FaceAnimatePipeline:
         seq_axis: str = "seq",
         step_cache: Optional[str] = None,
         step_cache_threshold: float = 0.10,
+        cfg_cache_stride: int = 1,
     ):
         """With `mesh` (containing a >1-sized `seq_axis`), each denoise step
         runs clip-parallel: the 16-frame window's frame axis is sharded over
@@ -216,7 +217,14 @@ class FaceAnimatePipeline:
         accumulated relative latent change since the last recompute stays
         under `step_cache_threshold` (TeaCache-style; adapts to content —
         smooth trajectories skip more, fast motion recomputes). Off by
-        default; the exact path is the quality-parity reference."""
+        default; the exact path is the quality-parity reference.
+
+        `cfg_cache_stride > 1` enables CFG-uncond caching (adaptive-
+        guidance family): the unconditional prediction drifts slowly, so
+        between warmup/cooldown it is recomputed only every stride-th
+        step; the conditional half always runs and the guidance combine
+        uses the cached uncond. Composes with step_cache None or
+        'dynamic'. A cond-only step costs ~half a full CFG step."""
         self.models = models
         self.scheduler = scheduler
         self.num_inference_steps = num_inference_steps
@@ -245,6 +253,14 @@ class FaceAnimatePipeline:
             )
         self.step_cache = step_cache
         self.step_cache_threshold = float(step_cache_threshold)
+        self.cfg_cache_stride = int(cfg_cache_stride)
+        if self.cfg_cache_stride < 1:
+            raise ValueError(f"cfg_cache_stride={cfg_cache_stride} must be >= 1")
+        if self.cfg_cache_stride > 1 and step_cache == "uniform":
+            raise ValueError(
+                "cfg_cache_stride composes with step_cache None or 'dynamic', "
+                "not 'uniform'"
+            )
         self._ddim = ddim.make_state(scheduler, num_inference_steps)
         self._generate_clip = jax.jit(self._clip_fn)
 
@@ -317,8 +333,8 @@ class FaceAnimatePipeline:
         # static here, so the uncond half runs plain self-attention instead
         # of bias-masked attention over the ref-KV concat — same math, half
         # the uncond KV work) ---
-        def denoise_step(params_, t, lat, ctx, rf, mf, audio_t, fc, mk,
-                         ms, seq_ax=None):
+        def denoise_halves(params_, t, lat, ctx, rf, mf, audio_t, fc, mk,
+                           ms, seq_ax=None):
             model_in = jnp.tile(lat, (2, 1, 1, 1, 1))
             out = m.denoising_net.apply(
                 params_,
@@ -335,12 +351,49 @@ class FaceAnimatePipeline:
                 cfg_split=True,
                 seq_axis=seq_ax,
             )
+            return out[:b], out[b:]
+
+        def denoise_step(params_, t, lat, ctx, rf, mf, audio_t, fc, mk,
+                         ms, seq_ax=None):
+            un, co = denoise_halves(
+                params_, t, lat, ctx, rf, mf, audio_t, fc, mk, ms, seq_ax
+            )
             if self.guidance_scale > 1.0:
-                un, co = out[:b], out[b:]
-                out = un + self.guidance_scale * (co - un)
-            else:
-                out = out[b:]
-            return out
+                return un + self.guidance_scale * (co - un)
+            return co
+
+        def denoise_cond(params_, t, lat, ctx, rf, mf, audio_t, fc, mk,
+                         ms, seq_ax=None):
+            # Conditional half only (CFG-cache steps): every conditioning
+            # tensor arrives pre-sliced to the cond half; cfg_split=False +
+            # uncond_mask=None means all samples take the conditional path
+            # (ref-KV concat + audio branches).
+            return m.denoising_net.apply(
+                params_,
+                lat,
+                t,
+                ctx,
+                rf,
+                mf,
+                audio_t,
+                fc,
+                fold_masks(mk),
+                ms,
+                None,
+                cfg_split=False,
+                seq_axis=seq_ax,
+            )
+
+        use_cfg_cache = (
+            self.cfg_cache_stride > 1 and self.guidance_scale > 1.0
+        )
+        if use_cfg_cache:
+            _half = lambda tr: jax.tree.map(lambda x: x[b:], tr)  # noqa: E731
+            context_c, ref_feats_c, motion_feats_c = (
+                _half(context), _half(ref_feats), _half(motion_feats)
+            )
+            audio_tokens_c, face_cond_c = audio_tokens[b:], face_cond[b:]
+            masks_c = _half(masks_cfg)
 
         if self.mesh is not None:
             # Clip parallelism: frame-axis tensors shard over the seq mesh
@@ -353,36 +406,139 @@ class FaceAnimatePipeline:
                 from jax.experimental.shard_map import shard_map
 
             s = self.seq_axis
-            sharded_step = shard_map(
-                lambda pr, t, lat, au, fc, mk: denoise_step(
+            sharded_halves = shard_map(
+                lambda pr, t, lat, au, fc, mk: denoise_halves(
                     pr, t, lat, context, ref_feats, motion_feats, au, fc, mk,
                     motion_scale, s,
                 ),
                 mesh=self.mesh,
                 in_specs=(P(), P(), P(None, s), P(None, s), P(None, s), P(None, s)),
-                out_specs=P(None, s),
+                out_specs=(P(None, s), P(None, s)),
             )
 
-            def run_step(t, lat):
-                return sharded_step(
+            def run_halves(t, lat):
+                return sharded_halves(
                     p["denoising_net"], t, lat, audio_tokens, face_cond, masks_cfg
                 )
 
+            if use_cfg_cache:
+                sharded_cond = shard_map(
+                    lambda pr, t, lat, au, fc, mk: denoise_cond(
+                        pr, t, lat, context_c, ref_feats_c, motion_feats_c,
+                        au, fc, mk, motion_scale, s,
+                    ),
+                    mesh=self.mesh,
+                    in_specs=(
+                        P(), P(), P(None, s), P(None, s), P(None, s), P(None, s)
+                    ),
+                    out_specs=P(None, s),
+                )
+
+                def run_cond(t, lat):
+                    return sharded_cond(
+                        p["denoising_net"], t, lat, audio_tokens_c,
+                        face_cond_c, masks_c,
+                    )
+
         else:
 
-            def run_step(t, lat):
-                return denoise_step(
+            def run_halves(t, lat):
+                return denoise_halves(
                     p["denoising_net"], t, lat, context, ref_feats, motion_feats,
                     audio_tokens, face_cond, masks_cfg, motion_scale,
                 )
 
-        if self.step_cache is None:
+            if use_cfg_cache:
+
+                def run_cond(t, lat):
+                    return denoise_cond(
+                        p["denoising_net"], t, lat, context_c, ref_feats_c,
+                        motion_feats_c, audio_tokens_c, face_cond_c, masks_c,
+                        motion_scale,
+                    )
+
+        def combine(un, co):
+            if self.guidance_scale > 1.0:
+                return un + self.guidance_scale * (co - un)
+            return co
+
+        def run_step(t, lat):
+            return combine(*run_halves(t, lat))
+
+        if use_cfg_cache:
+            from hallo_tpu.diffusion.cache import make_uncond_mask
+
+            un_mask = jnp.asarray(
+                make_uncond_mask(self._ddim.num_steps, self.cfg_cache_stride)
+            )
+
+            def run_cached_cfg(i, t, lat, u_prev):
+                """(pred, new_u_prev): full CFG step when un_mask[i], else
+                conditional-only with the cached uncond prediction."""
+
+                def full(_):
+                    un, co = run_halves(t, lat)
+                    return un.astype(jnp.float32), co.astype(jnp.float32)
+
+                def cond_only(_):
+                    return u_prev, run_cond(t, lat).astype(jnp.float32)
+
+                un, co = jax.lax.cond(un_mask[i], full, cond_only, None)
+                return combine(un, co), un
+
+        if self.step_cache is None and use_cfg_cache:
+
+            def body_g(i, carry):
+                lat, u_prev = carry
+                t = self._ddim.timesteps[i]
+                pred, u_prev = run_cached_cfg(i, t, lat, u_prev)
+                return ddim.ddim_step(self._ddim, i, pred, lat), u_prev
+
+            latents, _ = jax.lax.fori_loop(
+                0, self._ddim.num_steps, body_g,
+                (latents, jnp.zeros_like(latents)),
+            )
+        elif self.step_cache is None:
 
             def body(i, lat):
                 t = self._ddim.timesteps[i]
                 return ddim.ddim_step(self._ddim, i, run_step(t, lat), lat)
 
             latents = jax.lax.fori_loop(0, self._ddim.num_steps, body, latents)
+        elif self.step_cache == "dynamic" and use_cfg_cache:
+            from hallo_tpu.diffusion.cache import make_allow_mask
+
+            allow = jnp.asarray(make_allow_mask(self._ddim.num_steps))
+            thresh = jnp.float32(self.step_cache_threshold)
+
+            def body_dg(i, carry):
+                lat, prev_out, anchor, accum, u_prev = carry
+                t = self._ddim.timesteps[i]
+                diff = jnp.mean(jnp.abs(lat - anchor)) / (
+                    jnp.mean(jnp.abs(anchor)) + 1e-8
+                )
+                want_skip = allow[i] & (accum + diff < thresh)
+
+                def reuse(_):
+                    return prev_out, anchor, accum + diff, u_prev
+
+                def recompute(_):
+                    pred, u_next = run_cached_cfg(i, t, lat, u_prev)
+                    return pred, lat, jnp.float32(0), u_next
+
+                out, anchor, accum, u_prev = jax.lax.cond(
+                    want_skip, reuse, recompute, None
+                )
+                return (
+                    ddim.ddim_step(self._ddim, i, out, lat),
+                    out, anchor, accum, u_prev,
+                )
+
+            zero_out = jnp.zeros_like(latents)
+            latents, *_ = jax.lax.fori_loop(
+                0, self._ddim.num_steps, body_dg,
+                (latents, zero_out, latents, jnp.float32(0), zero_out),
+            )
         elif self.step_cache == "dynamic":
             # TeaCache-style on-device skip criterion: reuse the cached
             # prediction while the ACCUMULATED relative L1 change of the

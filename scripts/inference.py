@@ -172,6 +172,13 @@ def inference_process(args: argparse.Namespace) -> str:
         n_motion_frames=n_motion,
         step_cache=(getattr(args, "step_cache", None)
                     or str(getattr(config, "step_cache", "") or "") or None),
+        step_cache_threshold=float(
+            getattr(config, "step_cache_threshold", 0.10) or 0.10
+        ),
+        cfg_cache_stride=int(
+            getattr(args, "cfg_cache_stride", None)
+            or getattr(config, "cfg_cache_stride", 1) or 1
+        ),
     )
 
     masks = tuple(
@@ -215,9 +222,14 @@ def main() -> None:
         help="proceed even when found checkpoints load incompletely",
     )
     parser.add_argument(
-        "--step_cache", type=str, default=None, choices=("uniform",),
-        help="cached-prediction step skipping (~1.5x faster, small quality "
-             "trade; hallo_tpu/diffusion/cache.py)")
+        "--step_cache", type=str, default=None,
+        choices=("uniform", "dynamic"),
+        help="cached-prediction step skipping (~1.5-1.7x faster, small "
+             "quality trade; hallo_tpu/diffusion/cache.py)")
+    parser.add_argument(
+        "--cfg_cache_stride", type=int, default=None,
+        help="recompute the CFG-uncond half only every Nth step "
+             "(adaptive-guidance caching; 1 = off)")
     inference_process(parser.parse_args())
 
 

@@ -182,3 +182,58 @@ def test_pipeline_two_clips():
     assert video.shape == (1, 7, h, h, 3)
     assert np.isfinite(video).all()
     assert video.min() >= 0.0 and video.max() <= 1.0
+
+
+def test_uncond_mask_schedule():
+    from hallo_tpu.diffusion.cache import make_uncond_mask
+
+    m = make_uncond_mask(40, stride=3, warmup=6, cooldown=4)
+    assert m[:6].all() and m[36:].all()          # warmup/cooldown always on
+    assert m[6] and not m[7] and not m[8] and m[9]
+    assert make_uncond_mask(40, stride=1).all()  # stride 1 = disabled
+    # a 12-step schedule with stride 2 has exactly one cond-only step (i=7)
+    m12 = make_uncond_mask(12, stride=2, warmup=6, cooldown=4)
+    assert (~m12).sum() == 1 and not m12[7]
+
+
+@pytest.mark.slow
+def test_pipeline_cfg_cache():
+    """cfg_cache_stride: cond-only steps reuse the cached uncond prediction.
+    With 12 steps / stride 2 exactly one step skips the uncond half; the
+    output must stay finite/in-range and close to the exact path."""
+    h, f, m = 64, 4, 2
+    models = _init_models(jax.random.PRNGKey(0), h=h, f=f, m=m)
+
+    def run(stride, steps=12):
+        pipe = FaceAnimatePipeline(
+            models, SchedulerConfig(), num_inference_steps=steps,
+            guidance_scale=3.5, clip_length=f, n_motion_frames=m,
+            cfg_cache_stride=stride,
+        )
+        rng = np.random.default_rng(0)
+        ref = rng.uniform(-1, 1, size=(1, h, h, 3)).astype(np.float32)
+        audio = rng.normal(size=(f, 3, 2, 4)).astype(np.float32)
+        face_emb = rng.normal(size=(1, 16)).astype(np.float32)
+        region = np.ones((1, h, h, 3), np.float32)
+        hl = h // 8
+        masks = tuple(
+            tuple(np.ones((1, (hl // 2**d) ** 2), np.float32) for _ in range(3))
+            for d in range(4)
+        )
+        return pipe(ref, audio, face_emb, region, masks, seed=3)
+
+    exact = run(1)
+    cached = run(2)
+    assert cached.shape == exact.shape
+    assert np.isfinite(cached).all()
+    assert cached.min() >= 0.0 and cached.max() <= 1.0
+    # one of twelve steps approximates the uncond half: output stays close
+    diff = np.abs(cached.astype(np.float64) - exact).mean()
+    assert diff < 0.05, diff
+    # and is not bit-identical (the cond-only branch actually ran)
+    assert not np.array_equal(cached, exact)
+
+    with pytest.raises(ValueError):
+        FaceAnimatePipeline(
+            models, SchedulerConfig(), step_cache="uniform", cfg_cache_stride=2
+        )
