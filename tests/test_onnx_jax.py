@@ -282,3 +282,26 @@ def test_face_analyzer_picks_onnx_jax(tmp_path):
     assert np.isfinite(res.embedding).all()
     face_mask, lip_mask, _ = fa.face_and_lip_masks(img)
     assert face_mask.shape == (128, 128) and lip_mask.shape == (128, 128)
+
+
+def test_grouped_and_depthwise_conv_vs_torch(tmp_path):
+    """SCRFD-500m-class backbones use depthwise separable convs; cover
+    feature_group_count handling against torch."""
+    rng = np.random.default_rng(9)
+    w_dw = rng.normal(size=(6, 1, 3, 3), scale=0.3).astype(np.float32)  # depthwise g=6
+    w_g = rng.normal(size=(8, 3, 1, 1), scale=0.3).astype(np.float32)   # grouped g=2
+    nodes = [
+        _node("Conv", ["x", "w_dw"], ["d"], pads=[1, 1, 1, 1], group=6),
+        _node("Conv", ["d", "w_g"], ["y"], group=2),
+    ]
+    path = str(tmp_path / "gc.onnx")
+    save_onnx(path, nodes, dict(w_dw=w_dw, w_g=w_g),
+              {"x": [1, 6, 10, 10]}, {"y": [1, 8, 10, 10]})
+    ex = OnnxExecutor(path)
+    x = rng.normal(size=(1, 6, 10, 10)).astype(np.float32)
+    out = np.asarray(ex(ex.params, {"x": x})["y"])
+    with torch.no_grad():
+        t = torch.from_numpy(x)
+        d = F.conv2d(t, torch.from_numpy(w_dw), padding=1, groups=6)
+        ref = F.conv2d(d, torch.from_numpy(w_g), groups=2)
+    np.testing.assert_allclose(out, ref.numpy(), rtol=2e-4, atol=2e-4)
