@@ -109,6 +109,12 @@ def make_train_step(
             pixels.reshape((b * f,) + pixels.shape[2:]),
             method=m.vae.encode_mean,
         )
+        # The VAE is frozen in BOTH stages (train_stage1.py vae.requires_
+        # grad_(False); stage 2 same) — without stop_gradient, cotangents
+        # flow through `lat` into the whole VAE-encoder backward (and
+        # d/d(vae_params) is computed) only for optax to mask the update to
+        # zero. stop_gradient lets XLA dead-code the entire VAE backward.
+        lat = jax.lax.stop_gradient(lat)
         lat = lat.reshape((b, f) + lat.shape[1:])
         if "noise" in batch:
             noise = batch["noise"].astype(jnp.float32)
@@ -142,6 +148,10 @@ def make_train_step(
 
         face_emb = jnp.where(drop_img, 0.0, batch["face_emb"])
         tokens = m.image_proj.apply(params["image_proj"], face_emb)
+        if cfg.stage == 2:
+            # image_proj is frozen in stage 2 (train_stage2.py:553-560
+            # trains only audio/motion modules + audio_proj).
+            tokens = jax.lax.stop_gradient(tokens)
         uncond_mask = jnp.broadcast_to(drop_img.astype(jnp.float32), (b,))
 
         # --- reference + motion-frame latents -> ReferenceNet features ---
@@ -150,10 +160,12 @@ def make_train_step(
             motion_px = jnp.where(start, 0.0, batch["motion_pixels"])
             ref_px = jnp.concatenate([ref_px, motion_px], axis=1)
         one_m = ref_px.shape[1]
-        ref_lat = m.vae.apply(
-            params["vae"],
-            ref_px.reshape((b * one_m,) + ref_px.shape[2:]),
-            method=m.vae.encode_mean,
+        ref_lat = jax.lax.stop_gradient(
+            m.vae.apply(
+                params["vae"],
+                ref_px.reshape((b * one_m,) + ref_px.shape[2:]),
+                method=m.vae.encode_mean,
+            )
         )
         ref_ctx = (
             jnp.tile(tokens, (one_m, 1, 1))
@@ -176,6 +188,8 @@ def make_train_step(
         if "face_region" in batch:
             mask_video = jnp.repeat(batch["face_region"][:, None], f, axis=1)
             face_cond = m.face_locator.apply(params["face_locator"], mask_video)
+            if cfg.stage == 2:  # frozen in stage 2 (see tokens note)
+                face_cond = jax.lax.stop_gradient(face_cond)
 
         # --- audio tokens ---
         audio_tokens = None
