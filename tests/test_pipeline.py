@@ -237,3 +237,38 @@ def test_pipeline_cfg_cache():
         FaceAnimatePipeline(
             models, SchedulerConfig(), step_cache="uniform", cfg_cache_stride=2
         )
+
+
+@pytest.mark.slow
+def test_pipeline_cfg_cache_composes_with_dynamic():
+    """step_cache='dynamic' + cfg_cache_stride>1 (the body_dg path with the
+    nested uncond cond): finite, in-range, close to exact."""
+    h, f, m = 64, 4, 2
+    models = _init_models(jax.random.PRNGKey(0), h=h, f=f, m=m)
+
+    def run(cache, stride):
+        pipe = FaceAnimatePipeline(
+            models, SchedulerConfig(), num_inference_steps=12,
+            guidance_scale=3.5, clip_length=f, n_motion_frames=m,
+            step_cache=cache, step_cache_threshold=0.4,
+            cfg_cache_stride=stride,
+        )
+        rng = np.random.default_rng(0)
+        ref = rng.uniform(-1, 1, size=(1, h, h, 3)).astype(np.float32)
+        audio = rng.normal(size=(f, 3, 2, 4)).astype(np.float32)
+        face_emb = rng.normal(size=(1, 16)).astype(np.float32)
+        region = np.ones((1, h, h, 3), np.float32)
+        hl = h // 8
+        masks = tuple(
+            tuple(np.ones((1, (hl // 2**d) ** 2), np.float32) for _ in range(3))
+            for d in range(4)
+        )
+        return pipe(ref, audio, face_emb, region, masks, seed=3)
+
+    exact = run(None, 1)
+    combo = run("dynamic", 2)
+    assert combo.shape == exact.shape
+    assert np.isfinite(combo).all()
+    assert combo.min() >= 0.0 and combo.max() <= 1.0
+    diff = np.abs(combo.astype(np.float64) - exact).mean()
+    assert diff < 0.08, diff
