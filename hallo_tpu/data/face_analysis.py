@@ -33,6 +33,7 @@ class FaceResult:
     bbox: Tuple[float, float, float, float]  # (min_x, min_y, max_x, max_y)
     embedding: np.ndarray  # (512,)
     landmarks: Optional[np.ndarray] = None  # (478, 2) mediapipe-style or None
+    kps: Optional[np.ndarray] = None  # (5, 2) SCRFD keypoints: eyes, nose, mouth corners
 
 
 class FaceAnalyzer:
@@ -126,6 +127,10 @@ class FaceAnalyzer:
                 return FaceResult(
                     tuple(float(v) for v in f["bbox"]),
                     np.asarray(f["embedding"], np.float32),
+                    kps=(
+                        None if f.get("kps") is None
+                        else np.asarray(f["kps"], np.float32)
+                    ),
                 )
             return FaceResult((0, 0, w, h), np.zeros(512, np.float32))
 
@@ -167,14 +172,26 @@ class FaceAnalyzer:
 
         min_x, min_y, max_x, max_y = face.bbox
         face_mask = mk.bbox_mask((min_x, min_y, max_x, max_y), h, w, face_expand_ratio)
-        # heuristic lip box: central lower third of the face box
         fw, fh = max_x - min_x, max_y - min_y
-        lip_box = (
-            min_x + 0.3 * fw,
-            min_y + 0.65 * fh,
-            max_x - 0.3 * fw,
-            min_y + 0.85 * fh,
-        )
+        if face.kps is not None and len(face.kps) >= 5:
+            # SCRFD 5-point keypoints (lefteye, righteye, nose, leftmouth,
+            # rightmouth): anchor the lip box on the actual mouth corners —
+            # much tighter than the bbox heuristic. Height scales with the
+            # nose->mouth distance (the mouth occupies roughly that band).
+            lm, rm = face.kps[3], face.kps[4]
+            nose = face.kps[2]
+            cx, cy = (lm + rm) / 2.0
+            half_w = max(abs(rm[0] - lm[0]) * 0.8, 0.08 * fw)
+            mouth_h = max((cy - nose[1]) * 0.9, 0.06 * fh)
+            lip_box = (cx - half_w, cy - mouth_h, cx + half_w, cy + mouth_h)
+        else:
+            # heuristic lip box: central lower third of the face box
+            lip_box = (
+                min_x + 0.3 * fw,
+                min_y + 0.65 * fh,
+                max_x - 0.3 * fw,
+                min_y + 0.85 * fh,
+            )
         lip_mask = mk.bbox_mask(lip_box, h, w, 2.0)
         return face_mask, lip_mask, face
 

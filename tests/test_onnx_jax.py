@@ -305,3 +305,33 @@ def test_grouped_and_depthwise_conv_vs_torch(tmp_path):
         d = F.conv2d(t, torch.from_numpy(w_dw), padding=1, groups=6)
         ref = F.conv2d(d, torch.from_numpy(w_g), groups=2)
     np.testing.assert_allclose(out, ref.numpy(), rtol=2e-4, atol=2e-4)
+
+
+def test_lip_box_from_scrfd_kps(monkeypatch):
+    """With SCRFD 5-point keypoints present, the lip mask is anchored on
+    the mouth corners instead of the bbox-lower-third heuristic."""
+    from hallo_tpu.data.face_analysis import FaceAnalyzer, FaceResult
+
+    fa = FaceAnalyzer(backend="auto")  # backend irrelevant; detect mocked
+    res = FaceResult(
+        (40.0, 40.0, 160.0, 200.0), np.zeros(512, np.float32),
+        kps=np.array(
+            [[70, 90], [130, 92], [100, 130], [80, 160], [120, 162]],
+            np.float32,
+        ),
+    )
+    monkeypatch.setattr(fa, "detect", lambda img: res)
+    monkeypatch.setattr(fa, "_landmarks", lambda img: None)
+    face_mask, lip_mask, _ = fa.face_and_lip_masks(
+        np.zeros((256, 256, 3), np.uint8)
+    )
+    ys, xs = np.nonzero(lip_mask)
+    assert len(xs) > 0
+    # centered near the mouth-corner midpoint (100, 161)
+    assert abs(xs.mean() - 100) < 8 and abs(ys.mean() - 161) < 10
+    assert lip_mask[161, 100] > 0
+    # the heuristic path (no kps) puts the box center lower (bbox-derived)
+    res_nokps = FaceResult((40.0, 40.0, 160.0, 200.0), np.zeros(512, np.float32))
+    monkeypatch.setattr(fa, "detect", lambda img: res_nokps)
+    _, lip2, _ = fa.face_and_lip_masks(np.zeros((256, 256, 3), np.uint8))
+    assert np.abs(lip2.astype(int) - lip_mask.astype(int)).sum() > 0
