@@ -335,3 +335,23 @@ def test_lip_box_from_scrfd_kps(monkeypatch):
     monkeypatch.setattr(fa, "detect", lambda img: res_nokps)
     _, lip2, _ = fa.face_and_lip_masks(np.zeros((256, 256, 3), np.uint8))
     assert np.abs(lip2.astype(int) - lip_mask.astype(int)).sum() > 0
+
+
+def test_conv_auto_pad_same_upper(tmp_path):
+    """auto_pad=SAME_UPPER (exporter variant) matches torch's explicit
+    asymmetric padding for even kernels/strides."""
+    rng = np.random.default_rng(10)
+    w = rng.normal(size=(4, 3, 3, 3), scale=0.3).astype(np.float32)
+    nodes = [_node("Conv", ["x", "w"], ["y"], strides=[2, 2],
+                   auto_pad="SAME_UPPER")]
+    path = str(tmp_path / "ap.onnx")
+    save_onnx(path, nodes, dict(w=w), {"x": [1, 3, 9, 9]}, {"y": [1, 4, 5, 5]})
+    ex = OnnxExecutor(path)
+    x = rng.normal(size=(1, 3, 9, 9)).astype(np.float32)
+    out = np.asarray(ex(ex.params, {"x": x})["y"])
+    # SAME_UPPER for in=9 k=3 s=2: out=5, total pad=2 -> (1 begin, 1 end)
+    with torch.no_grad():
+        ref = F.conv2d(torch.from_numpy(x), torch.from_numpy(w),
+                       stride=2, padding=1)
+    assert out.shape == tuple(ref.shape)
+    np.testing.assert_allclose(out, ref.numpy(), rtol=2e-4, atol=2e-4)
