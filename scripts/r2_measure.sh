@@ -35,6 +35,6 @@ run_stage bench_cfg3 env HALLO_BENCH_CFG_STRIDE=3 python bench.py
 # 5. dynamic cache + CFG cache composed
 run_stage bench_dyn_cfg3 env HALLO_BENCH_STEP_CACHE=dynamic HALLO_BENCH_CFG_STRIDE=3 python bench.py
 # 6. quality audit of the cache modes vs exact
-run_stage eval_quality env HALLO_EVAL_THRESHOLDS=0.10 python scripts/eval_cache_quality.py
+run_stage eval_quality env HALLO_EVAL_THRESHOLDS=0.05,0.10 python scripts/eval_cache_quality.py
 log "ALL DONE"
 cat "$RES"
