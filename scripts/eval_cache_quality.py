@@ -42,6 +42,28 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return float(10.0 * np.log10(255.0 ** 2 / mse))
 
 
+def ssim(a: np.ndarray, b: np.ndarray, win: int = 8) -> float:
+    """Mean SSIM over non-overlapping win x win luminance patches (standard
+    constants; global form per patch — adequate for a regression audit)."""
+    a = a.astype(np.float64).mean(axis=-1)  # (.., H, W) luminance
+    b = b.astype(np.float64).mean(axis=-1)
+    a = a.reshape(-1, *a.shape[-2:])
+    b = b.reshape(-1, *b.shape[-2:])
+    h, w = a.shape[-2:]
+    h, w = h - h % win, w - w % win
+    pa = a[:, :h, :w].reshape(-1, h // win, win, w // win, win)
+    pb = b[:, :h, :w].reshape(-1, h // win, win, w // win, win)
+    ax = (2, 4)
+    mu_a, mu_b = pa.mean(ax), pb.mean(ax)
+    va, vb = pa.var(ax), pb.var(ax)
+    cov = (pa * pb).mean(ax) - mu_a * mu_b
+    c1, c2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+    s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+        (mu_a ** 2 + mu_b ** 2 + c1) * (va + vb + c2)
+    )
+    return float(s.mean())
+
+
 def main() -> None:
     import jax
 
@@ -122,6 +144,7 @@ def main() -> None:
             "mode": mode,
             "threshold": th if mode == "dynamic" else None,
             "psnr_vs_exact_db": round(psnr(frames, exact), 2),
+            "ssim_vs_exact": round(ssim(frames, exact), 4),
             "mean_abs_diff": round(
                 float(np.mean(np.abs(frames.astype(np.float64) - exact))), 3
             ),
