@@ -113,11 +113,12 @@ def main() -> None:
         jnp.ones(3),
     )
 
-    def run(step_cache, thresh):
+    def run(step_cache, thresh, cfg_stride=1):
         pipe = FaceAnimatePipeline(
             models, SchedulerConfig(), num_inference_steps=steps,
             guidance_scale=3.5, clip_length=clip, n_motion_frames=m,
             step_cache=step_cache, step_cache_threshold=thresh,
+            cfg_cache_stride=cfg_stride,
         )
         t0 = time.perf_counter()
         frames = np.asarray(
@@ -135,14 +136,21 @@ def main() -> None:
     exact, exact_s, c0 = run(None, 0.0)
     log(f"exact {exact_s:.2f}s/clip (compile {c0:.0f}s)")
 
-    modes = [("uniform", 0.0)] + [("dynamic", t) for t in thresholds]
+    cfg_stride = int(os.environ.get("HALLO_EVAL_CFG_STRIDE", "3"))
+    modes = (
+        [("uniform", 0.0, 1)]
+        + [("dynamic", t, 1) for t in thresholds]
+        + [(None, 0.0, cfg_stride)]                       # CFG cache alone
+        + [("dynamic", thresholds[-1], cfg_stride)]       # composed
+    )
     results = []
-    for mode, th in modes:
-        log(f"running {mode} thresh={th}")
-        frames, run_s, comp_s = run(mode, th)
+    for mode, th, stride in modes:
+        log(f"running {mode} thresh={th} cfg_stride={stride}")
+        frames, run_s, comp_s = run(mode, th, stride)
         entry = {
-            "mode": mode,
+            "mode": (mode or "exact") + (f"+cfg{stride}" if stride > 1 else ""),
             "threshold": th if mode == "dynamic" else None,
+            "cfg_cache_stride": stride,
             "psnr_vs_exact_db": round(psnr(frames, exact), 2),
             "ssim_vs_exact": round(ssim(frames, exact), 4),
             "mean_abs_diff": round(
