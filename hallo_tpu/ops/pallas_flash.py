@@ -675,8 +675,16 @@ def _flash_packed(q, k, v, bias, heads, scale, block_q, block_k):
 
 
 def _flash_packed_fwd(q, k, v, bias, heads, scale, block_q, block_k):
+    # Training forward: the with_lse variant adds the (heads, 8, block_q)
+    # f32 stats output + double-buffered io blocks on top of the inference
+    # kernel's footprint, and at the inference-optimal 1024x1024 blocks the
+    # 512^2 spatial shape exceeds the 16 MB scoped-vmem limit by ~2 MB
+    # (measured: 18.07M on the stage-2 full-width step). Clamp to the same
+    # 512 blocks the backward uses — the backward dominates training
+    # attention time anyway.
     out, lse = _flash_forward_packed(
-        q, k, v, bias, heads, scale, block_q, block_k, with_lse=True
+        q, k, v, bias, heads, scale,
+        min(block_q, 512), min(block_k, 512), with_lse=True
     )
     return out, (q, k, v, bias, out, lse)
 
