@@ -70,6 +70,19 @@ def _align_unidirectional(slope: Array, rank: int) -> Array:
     return slope
 
 
+class UnsupportedOnnxOps(NotImplementedError):
+    """Raised at executor construction when the graph uses ops the executor
+    has no kernel for. Carries the sorted unique op list for tooling."""
+
+    def __init__(self, ops: Sequence[str]):
+        self.ops = sorted(set(ops))
+        super().__init__(
+            "ONNX graph uses unsupported op(s): " + ", ".join(self.ops)
+            + " — extend OnnxExecutor (_op_<name>) or export the model "
+            "without them"
+        )
+
+
 class OnnxExecutor:
     """Compile an OnnxModel into a jittable ``(params, inputs) -> outputs``.
 
@@ -80,11 +93,19 @@ class OnnxExecutor:
 
     PARAM_MIN_SIZE = 65  # arrays at least this big (and float) become params
 
-    def __init__(self, model: Union[OnnxModel, str, bytes]):
+    def __init__(self, model: Union[OnnxModel, str, bytes], strict: bool = True):
         if not isinstance(model, OnnxModel):
             model = load_onnx(model)
         self.graph = model.graph
         self.opset = model.opset
+        if strict:
+            # Preflight: fail at LOAD time with the full unsupported-op list
+            # instead of a mid-inference NotImplementedError on one op
+            # (reference loads models eagerly too — image_processor.py:100-138
+            # constructs every onnxruntime session up front).
+            missing = self.check_support(self.graph)
+            if missing:
+                raise UnsupportedOnnxOps(missing)
         self.params: Dict[str, np.ndarray] = {}
         self._consts: Dict[str, np.ndarray] = {}
         for k, arr in self.graph.initializers.items():
@@ -115,6 +136,25 @@ class OnnxExecutor:
 
     def jit(self) -> Callable[[Dict[str, Array], Dict[str, Array]], Dict[str, Array]]:
         return jax.jit(self.__call__)
+
+    @classmethod
+    def supported_ops(cls) -> frozenset:
+        """ONNX op_types this executor can dispatch (derived from the
+        _op_<name> methods, so it can never drift from the implementation).
+        Names are lowercase — ONNX op casing is normalized at dispatch."""
+        return frozenset(
+            name[len("_op_"):] for name in dir(cls) if name.startswith("_op_")
+        )
+
+    @classmethod
+    def check_support(cls, graph) -> List[str]:
+        """Sorted unique list of op_types in `graph` the executor cannot
+        run (empty = fully supported). Use before / at load to fail with
+        the complete list instead of mid-inference on the first one."""
+        ok = cls.supported_ops()
+        return sorted(
+            {n.op_type for n in graph.nodes if n.op_type.lower() not in ok}
+        )
 
     # -- dispatch ----------------------------------------------------------
     def _run_node(self, node: OnnxNode, args: List[Optional[Array]]):

@@ -38,6 +38,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
+# Training block clamp for the packed kernel: the with_lse forward adds the
+# (heads, 8, block_q) f32 stats output + double-buffered io blocks on top of
+# the inference kernel's footprint, and at the inference-optimal 1024x1024
+# blocks the 512^2 spatial shape exceeds the 16 MB scoped-vmem limit by ~2 MB
+# (measured: 18.07M on the stage-2 full-width step). Forward and backward
+# MUST share this clamp — the backward reads the lse saved by the forward
+# with the same tiling assumptions.
+TRAIN_BLOCK_MAX = 512
 LOG2E = math.log2(math.e)
 
 
@@ -675,16 +683,12 @@ def _flash_packed(q, k, v, bias, heads, scale, block_q, block_k):
 
 
 def _flash_packed_fwd(q, k, v, bias, heads, scale, block_q, block_k):
-    # Training forward: the with_lse variant adds the (heads, 8, block_q)
-    # f32 stats output + double-buffered io blocks on top of the inference
-    # kernel's footprint, and at the inference-optimal 1024x1024 blocks the
-    # 512^2 spatial shape exceeds the 16 MB scoped-vmem limit by ~2 MB
-    # (measured: 18.07M on the stage-2 full-width step). Clamp to the same
-    # 512 blocks the backward uses — the backward dominates training
-    # attention time anyway.
+    # Training forward: clamp to TRAIN_BLOCK_MAX (VMEM rationale at the
+    # constant) — the backward dominates training attention time anyway.
     out, lse = _flash_forward_packed(
         q, k, v, bias, heads, scale,
-        min(block_q, 512), min(block_k, 512), with_lse=True
+        min(block_q, TRAIN_BLOCK_MAX), min(block_k, TRAIN_BLOCK_MAX),
+        with_lse=True,
     )
     return out, (q, k, v, bias, out, lse)
 
@@ -709,7 +713,7 @@ def _flash_packed_bwd(heads, scale, block_q, block_k, residuals, g):
         return dq, dk, dv, (None if bias is None else dbias)
     dq, dk, dv = _flash_backward_packed(
         q, k, v, bias, out, lse, g, heads, scale,
-        min(block_q, 512), min(block_k, 512),
+        min(block_q, TRAIN_BLOCK_MAX), min(block_k, TRAIN_BLOCK_MAX),
     )
     return dq, dk, dv, (None if bias is None else jnp.zeros_like(bias))
 

@@ -33,7 +33,7 @@ from hallo_tpu.config import (
     UNetConfig,
     VAEConfig,
 )
-from hallo_tpu.diffusion import ddim
+from hallo_tpu.diffusion.sampler import make_sampler
 from hallo_tpu.models.face_locator import FaceLocator
 from hallo_tpu.models.projections import AudioProj, ImageProj
 from hallo_tpu.models.unet_denoise import DenoisingUNet
@@ -203,6 +203,7 @@ class FaceAnimatePipeline:
         step_cache: Optional[str] = None,
         step_cache_threshold: float = 0.10,
         cfg_cache_stride: int = 1,
+        sampler: str = "ddim",
     ):
         """With `mesh` (containing a >1-sized `seq_axis`), each denoise step
         runs clip-parallel: the 16-frame window's frame axis is sharded over
@@ -224,7 +225,13 @@ class FaceAnimatePipeline:
         between warmup/cooldown it is recomputed only every stride-th
         step; the conditional half always runs and the guidance combine
         uses the cached uncond. Composes with step_cache None or
-        'dynamic'. A cond-only step costs ~half a full CFG step."""
+        'dynamic'. A cond-only step costs ~half a full CFG step.
+
+        `sampler="dpm++2m"` swaps the DDIM update for DPM-Solver++ (2M)
+        (diffusion/dpm.py): a second-order multistep ODE solver reaching
+        40-step-DDIM quality at 15-20 model evaluations. Composes with
+        both cache modes (the caches gate MODEL evals; the sampler is the
+        update rule)."""
         self.models = models
         self.scheduler = scheduler
         self.num_inference_steps = num_inference_steps
@@ -261,7 +268,7 @@ class FaceAnimatePipeline:
                 "cfg_cache_stride composes with step_cache None or 'dynamic', "
                 "not 'uniform'"
             )
-        self._ddim = ddim.make_state(scheduler, num_inference_steps)
+        self._samp = make_sampler(scheduler, sampler, num_inference_steps)
         self._generate_clip = jax.jit(self._clip_fn)
 
     # ------------------------------------------------------------------
@@ -465,11 +472,17 @@ class FaceAnimatePipeline:
         def run_step(t, lat):
             return combine(*run_halves(t, lat))
 
+        # The sampler update (DDIM or DPM-Solver++ 2M) is orthogonal to the
+        # caching modes: caches gate MODEL evaluations, the sampler carry
+        # (`sc` — empty for DDIM, prev-x0 history for DPM) threads through
+        # every loop variant unchanged.
+        samp = self._samp
+
         if use_cfg_cache:
             from hallo_tpu.diffusion.cache import make_uncond_mask
 
             un_mask = jnp.asarray(
-                make_uncond_mask(self._ddim.num_steps, self.cfg_cache_stride)
+                make_uncond_mask(samp.num_steps, self.cfg_cache_stride)
             )
 
             def run_cached_cfg(i, t, lat, u_prev):
@@ -489,31 +502,35 @@ class FaceAnimatePipeline:
         if self.step_cache is None and use_cfg_cache:
 
             def body_g(i, carry):
-                lat, u_prev = carry
-                t = self._ddim.timesteps[i]
+                lat, sc, u_prev = carry
+                t = samp.timesteps[i]
                 pred, u_prev = run_cached_cfg(i, t, lat, u_prev)
-                return ddim.ddim_step(self._ddim, i, pred, lat), u_prev
+                lat, sc = samp.step(i, pred, lat, sc)
+                return lat, sc, u_prev
 
-            latents, _ = jax.lax.fori_loop(
-                0, self._ddim.num_steps, body_g,
-                (latents, jnp.zeros_like(latents)),
+            latents, _, _ = jax.lax.fori_loop(
+                0, samp.num_steps, body_g,
+                (latents, samp.init_carry(latents), jnp.zeros_like(latents)),
             )
         elif self.step_cache is None:
 
-            def body(i, lat):
-                t = self._ddim.timesteps[i]
-                return ddim.ddim_step(self._ddim, i, run_step(t, lat), lat)
+            def body(i, carry):
+                lat, sc = carry
+                t = samp.timesteps[i]
+                return samp.step(i, run_step(t, lat), lat, sc)
 
-            latents = jax.lax.fori_loop(0, self._ddim.num_steps, body, latents)
+            latents, _ = jax.lax.fori_loop(
+                0, samp.num_steps, body, (latents, samp.init_carry(latents))
+            )
         elif self.step_cache == "dynamic" and use_cfg_cache:
             from hallo_tpu.diffusion.cache import make_allow_mask
 
-            allow = jnp.asarray(make_allow_mask(self._ddim.num_steps))
+            allow = jnp.asarray(make_allow_mask(samp.num_steps))
             thresh = jnp.float32(self.step_cache_threshold)
 
             def body_dg(i, carry):
-                lat, prev_out, anchor, accum, u_prev = carry
-                t = self._ddim.timesteps[i]
+                lat, sc, prev_out, anchor, accum, u_prev = carry
+                t = samp.timesteps[i]
                 diff = jnp.mean(jnp.abs(lat - anchor)) / (
                     jnp.mean(jnp.abs(anchor)) + 1e-8
                 )
@@ -529,30 +546,29 @@ class FaceAnimatePipeline:
                 out, anchor, accum, u_prev = jax.lax.cond(
                     want_skip, reuse, recompute, None
                 )
-                return (
-                    ddim.ddim_step(self._ddim, i, out, lat),
-                    out, anchor, accum, u_prev,
-                )
+                lat, sc = samp.step(i, out, lat, sc)
+                return lat, sc, out, anchor, accum, u_prev
 
             zero_out = jnp.zeros_like(latents)
             latents, *_ = jax.lax.fori_loop(
-                0, self._ddim.num_steps, body_dg,
-                (latents, zero_out, latents, jnp.float32(0), zero_out),
+                0, samp.num_steps, body_dg,
+                (latents, samp.init_carry(latents), zero_out, latents,
+                 jnp.float32(0), zero_out),
             )
         elif self.step_cache == "dynamic":
             # TeaCache-style on-device skip criterion: reuse the cached
             # prediction while the ACCUMULATED relative L1 change of the
             # latents since the last recompute stays under the threshold.
             # lax.cond executes only the taken branch on TPU, so skipped
-            # steps cost just the cheap error estimate + DDIM update.
+            # steps cost just the cheap error estimate + sampler update.
             from hallo_tpu.diffusion.cache import make_allow_mask
 
-            allow = jnp.asarray(make_allow_mask(self._ddim.num_steps))
+            allow = jnp.asarray(make_allow_mask(samp.num_steps))
             thresh = jnp.float32(self.step_cache_threshold)
 
             def body_d(i, carry):
-                lat, prev_out, anchor, accum, n_skips = carry
-                t = self._ddim.timesteps[i]
+                lat, sc, prev_out, anchor, accum, n_skips = carry
+                t = samp.timesteps[i]
                 diff = jnp.mean(jnp.abs(lat - anchor)) / (
                     jnp.mean(jnp.abs(anchor)) + 1e-8
                 )
@@ -566,27 +582,26 @@ class FaceAnimatePipeline:
 
                 out, anchor, accum = jax.lax.cond(want_skip, reuse, recompute, None)
                 n_skips = n_skips + want_skip.astype(jnp.int32)
-                return (
-                    ddim.ddim_step(self._ddim, i, out, lat),
-                    out, anchor, accum, n_skips,
-                )
+                lat, sc = samp.step(i, out, lat, sc)
+                return lat, sc, out, anchor, accum, n_skips
 
             zero_out = jnp.zeros_like(latents)
-            latents, _, _, _, _ = jax.lax.fori_loop(
-                0, self._ddim.num_steps, body_d,
-                (latents, zero_out, latents, jnp.float32(0), jnp.int32(0)),
+            latents, *_ = jax.lax.fori_loop(
+                0, samp.num_steps, body_d,
+                (latents, samp.init_carry(latents), zero_out, latents,
+                 jnp.float32(0), jnp.int32(0)),
             )
         else:
             # Cached-prediction step skipping (diffusion/cache.py): on skip
-            # steps reuse the previous model output; the DDIM update still
+            # steps reuse the previous model output; the sampler update still
             # advances. Static schedule -> lax.cond inside the jitted loop.
             from hallo_tpu.diffusion.cache import make_skip_mask
 
-            skip = jnp.asarray(make_skip_mask(self._ddim.num_steps))
+            skip = jnp.asarray(make_skip_mask(samp.num_steps))
 
             def body_c(i, carry):
-                lat, prev_out = carry
-                t = self._ddim.timesteps[i]
+                lat, sc, prev_out = carry
+                t = samp.timesteps[i]
                 out = jax.lax.cond(
                     skip[i],
                     lambda _: prev_out,
@@ -595,11 +610,13 @@ class FaceAnimatePipeline:
                     lambda _: run_step(t, lat).astype(jnp.float32),
                     None,
                 )
-                return ddim.ddim_step(self._ddim, i, out, lat), out
+                lat, sc = samp.step(i, out, lat, sc)
+                return lat, sc, out
 
             zero_out = jnp.zeros_like(latents)
-            latents, _ = jax.lax.fori_loop(
-                0, self._ddim.num_steps, body_c, (latents, zero_out)
+            latents, _, _ = jax.lax.fori_loop(
+                0, samp.num_steps, body_c,
+                (latents, samp.init_carry(latents), zero_out),
             )
 
         # --- batched VAE decode -> uint8 pixels (the host fetch crosses the

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hallo_tpu.config import SchedulerConfig
-from hallo_tpu.diffusion import ddim
+from hallo_tpu.diffusion.sampler import make_sampler
 from hallo_tpu.pipelines.face_animate import HalloModels
 
 
@@ -27,10 +27,11 @@ class StaticPipeline:
         scheduler: SchedulerConfig = SchedulerConfig(),
         num_inference_steps: int = 20,
         guidance_scale: float = 3.5,
+        sampler: str = "ddim",
     ):
         self.models = models
         self.guidance_scale = float(guidance_scale)
-        self._ddim = ddim.make_state(scheduler, num_inference_steps)
+        self._samp = make_sampler(scheduler, sampler, num_inference_steps)
         self._run = jax.jit(self._sample_fn)
 
     def _sample_fn(
@@ -62,8 +63,11 @@ class StaticPipeline:
 
         uncond_mask = jnp.concatenate([jnp.ones((b,)), jnp.zeros((b,))])
 
-        def body(i, lat):
-            t = self._ddim.timesteps[i]
+        samp = self._samp
+
+        def body(i, carry):
+            lat, sc = carry
+            t = samp.timesteps[i]
             model_in = jnp.tile(lat, (2, 1, 1, 1, 1))
             out = m.denoising_net.apply(
                 params["denoising_net"],
@@ -80,9 +84,11 @@ class StaticPipeline:
             )
             un, co = out[:b], out[b:]
             guided = un + self.guidance_scale * (co - un)
-            return ddim.ddim_step(self._ddim, i, guided, lat)
+            return samp.step(i, guided, lat, sc)
 
-        latents = jax.lax.fori_loop(0, self._ddim.num_steps, body, latents)
+        latents, _ = jax.lax.fori_loop(
+            0, samp.num_steps, body, (latents, samp.init_carry(latents))
+        )
         img = m.vae.apply(params["vae"], latents[:, 0], method=m.vae.decode)
         return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
 

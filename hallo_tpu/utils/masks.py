@@ -28,28 +28,28 @@ LIP_IDS = [61, 185, 40, 39, 37, 0, 267, 269, 270, 409, 291,
 def expand_region(
     region: Sequence[float], image_w: int, image_h: int, expand_ratio: float = 1.0
 ) -> Tuple[int, int, int, int]:
-    """Expand (min_x, max_x, min_y, max_y) about its center, clamped to the
-    image by shifting (util.py:529-564)."""
-    min_x, max_x, min_y, max_y = region
-    mid_x = (max_x + min_x) // 2
-    side_x = (max_x - min_x) * expand_ratio
-    mid_y = (max_y + min_y) // 2
-    side_y = (max_y - min_y) * expand_ratio
-    min_x, max_x = mid_x - side_x // 2, mid_x + side_x // 2
-    min_y, max_y = mid_y - side_y // 2, mid_y + side_y // 2
-    if min_x < 0:
-        max_x -= min_x
-        min_x = 0
-    if max_x > image_w:
-        min_x -= max_x - image_w
-        max_x = image_w
-    if min_y < 0:
-        max_y -= min_y
-        min_y = 0
-    if max_y > image_h:
-        min_y -= max_y - image_h
-        max_y = image_h
-    return round(min_x), round(max_x), round(min_y), round(max_y)
+    """Scale (min_x, max_x, min_y, max_y) about its center by expand_ratio,
+    then shift the box back inside the image (size-preserving clamp).
+
+    Behavioral spec (util.py:529-564 parity, pinned by
+    tests/test_mask_fixtures.py): the center uses integer floor-division,
+    the scaled half-side floors, clamping shifts low-edge first then
+    high-edge, and the result is round()ed per coordinate."""
+
+    def _axis(lo: float, hi: float, limit: int) -> Tuple[int, int]:
+        center = (lo + hi) // 2
+        half = ((hi - lo) * expand_ratio) // 2
+        lo, hi = center - half, center + half
+        if lo < 0:  # slide right until the low edge is inside
+            lo, hi = 0, hi - lo
+        if hi > limit:  # then slide left until the high edge is inside
+            lo, hi = lo - (hi - limit), limit
+        return round(lo), round(hi)
+
+    lo_x, hi_x, lo_y, hi_y = region
+    min_x, max_x = _axis(lo_x, hi_x, image_w)
+    min_y, max_y = _axis(lo_y, hi_y, image_h)
+    return min_x, max_x, min_y, max_y
 
 
 def bbox_mask(
@@ -91,11 +91,19 @@ def blur_mask(
     resize_dim: Tuple[int, int] = (64, 64),
     kernel_size: Tuple[int, int] = (51, 51),
 ) -> np.ndarray:
-    """Resize -> GaussianBlur -> minmax-normalize to [0,255]
-    (util.py:589-610)."""
-    resized = cv2.resize(mask, resize_dim)
-    blurred = cv2.GaussianBlur(resized, kernel_size, 0)
-    return cv2.normalize(blurred, None, 0, 255, cv2.NORM_MINMAX)
+    """Resize -> GaussianBlur -> minmax-stretch to [0, 255] (behavioral
+    parity with util.py:589-610; the stretch matches cv2.NORM_MINMAX on
+    uint8 incl. its round-half-to-even saturate_cast and its all-zero
+    output for a constant input)."""
+    blurred = cv2.GaussianBlur(cv2.resize(mask, resize_dim), kernel_size, 0)
+    lo = float(blurred.min())
+    span = float(blurred.max()) - lo
+    gain = 255.0 / span if span > 0 else 0.0
+    # gain/offset applied as two ops (x*gain + shift), matching OpenCV's
+    # convertTo float path bit-for-bit — (x-lo)*gain rounds differently at
+    # a handful of pixels.
+    stretched = np.rint(blurred.astype(np.float64) * gain + (-lo * gain))
+    return np.clip(stretched, 0, 255).astype(np.uint8)
 
 
 def background_mask(mask: np.ndarray) -> np.ndarray:
@@ -108,17 +116,19 @@ def sep_face_mask(face_blur: np.ndarray, lip_blur: np.ndarray) -> np.ndarray:
     return cv2.subtract(face_blur, lip_blur)
 
 
-def union_mask(masks: List[np.ndarray]) -> np.ndarray:
-    """Pixel-max union with bbox fill (util.py:923-958)."""
-    out = None
-    for m in masks:
-        out = m if out is None else np.maximum(out, m)
-    if out is not None and out.any():
-        rows = np.any(out, axis=1)
-        cols = np.any(out, axis=0)
-        ymin, ymax = np.where(rows)[0][[0, -1]]
-        xmin, xmax = np.where(cols)[0][[0, -1]]
-        out[ymin : ymax + 1, xmin : xmax + 1] = out.max()
+def union_mask(masks: List[np.ndarray]) -> Optional[np.ndarray]:
+    """Pixel-wise max over the masks, then fill the union's nonzero bounding
+    box solid with the global max (behavioral parity with util.py:923-958;
+    returns None for an empty list, the all-zero union unchanged). Unlike
+    the reference this never mutates its inputs."""
+    if not masks:
+        return None
+    out = np.array(masks[0], copy=True)
+    for m in masks[1:]:
+        np.maximum(out, m, out=out)
+    nz_y, nz_x = np.nonzero(out)
+    if nz_y.size:
+        out[nz_y.min(): nz_y.max() + 1, nz_x.min(): nz_x.max() + 1] = out.max()
     return out
 
 

@@ -153,6 +153,31 @@ def inference_process(args: argparse.Namespace) -> str:
     audio_windows = window_audio_embeddings(audio_emb, margin=2)
 
     # ------------------------------------------------------------ pipeline
+    # Named speed profiles (BASELINE.md speed/quality matrix). Explicit
+    # --sampler/--step_cache/--cfg_cache_stride/inference_steps flags win
+    # over the profile's defaults.
+    profile = getattr(args, "profile", None) or str(
+        getattr(config, "profile", "") or ""
+    ) or "exact"
+    prof_defaults = {
+        "exact": {},
+        # DPM-Solver++ 2M at 15 evals + uncond reuse every 3rd step:
+        # the audited fast profile (scripts/eval_cache_quality.py).
+        "fast": {"sampler": "dpm++2m", "inference_steps": 15,
+                 "cfg_cache_stride": 3},
+    }
+    if profile not in prof_defaults:
+        raise SystemExit(f"--profile {profile!r}: expected exact|fast")
+    prof = prof_defaults[profile]
+
+    sampler = (getattr(args, "sampler", None)
+               or str(getattr(config, "sampler", "") or "")
+               or prof.get("sampler", "ddim"))
+    num_steps = int(
+        getattr(args, "inference_steps", None)
+        or prof.get("inference_steps", 0)
+        or config.inference_steps
+    )
     sched_kwargs = cfglib.to_container(config.noise_scheduler_kwargs)
     sched = SchedulerConfig(
         num_train_timesteps=int(sched_kwargs.get("num_train_timesteps", 1000)),
@@ -166,19 +191,22 @@ def inference_process(args: argparse.Namespace) -> str:
     pipe = FaceAnimatePipeline(
         models,
         sched,
-        num_inference_steps=int(config.inference_steps),
+        num_inference_steps=num_steps,
         guidance_scale=float(config.cfg_scale),
         clip_length=clip_length,
         n_motion_frames=n_motion,
         step_cache=(getattr(args, "step_cache", None)
-                    or str(getattr(config, "step_cache", "") or "") or None),
+                    or str(getattr(config, "step_cache", "") or "")
+                    or prof.get("step_cache") or None),
         step_cache_threshold=float(
             getattr(config, "step_cache_threshold", 0.10) or 0.10
         ),
         cfg_cache_stride=int(
             getattr(args, "cfg_cache_stride", None)
-            or getattr(config, "cfg_cache_stride", 1) or 1
+            or getattr(config, "cfg_cache_stride", None)
+            or prof.get("cfg_cache_stride", 1) or 1
         ),
+        sampler=sampler,
     )
 
     masks = tuple(
@@ -230,6 +258,17 @@ def main() -> None:
         "--cfg_cache_stride", type=int, default=None,
         help="recompute the CFG-uncond half only every Nth step "
              "(adaptive-guidance caching; 1 = off)")
+    parser.add_argument(
+        "--sampler", type=str, default=None, choices=("ddim", "dpm++2m"),
+        help="solver for the denoise loop: ddim (reference parity) or "
+             "dpm++2m (second-order multistep; 15-20 evals ~ 40-step DDIM)")
+    parser.add_argument(
+        "--inference_steps", type=int, default=None,
+        help="override the config's denoise step count")
+    parser.add_argument(
+        "--profile", type=str, default=None, choices=("exact", "fast"),
+        help="named speed profile: exact (default) or fast "
+             "(dpm++2m @ 15 steps + cfg_cache_stride 3)")
     inference_process(parser.parse_args())
 
 

@@ -184,6 +184,46 @@ def test_pipeline_two_clips():
     assert video.min() >= 0.0 and video.max() <= 1.0
 
 
+@pytest.mark.slow
+def test_pipeline_dpm_sampler():
+    """sampler='dpm++2m' end-to-end (incl. composition with the CFG cache):
+    finite, in-range, and close to the DDIM path on a tiny model."""
+    h, f, m = 64, 4, 2
+    models = _init_models(jax.random.PRNGKey(0), h=h, f=f, m=m)
+
+    def run(sampler, steps, stride=1):
+        pipe = FaceAnimatePipeline(
+            models, SchedulerConfig(), num_inference_steps=steps,
+            guidance_scale=3.5, clip_length=f, n_motion_frames=m,
+            sampler=sampler, cfg_cache_stride=stride,
+        )
+        rng = np.random.default_rng(0)
+        ref = rng.uniform(-1, 1, size=(1, h, h, 3)).astype(np.float32)
+        audio = rng.normal(size=(f, 3, 2, 4)).astype(np.float32)
+        face_emb = rng.normal(size=(1, 16)).astype(np.float32)
+        region = np.ones((1, h, h, 3), np.float32)
+        hl = h // 8
+        masks = tuple(
+            tuple(np.ones((1, (hl // 2**d) ** 2), np.float32) for _ in range(3))
+            for d in range(4)
+        )
+        return pipe(ref, audio, face_emb, region, masks, seed=3)
+
+    ddim_out = run("ddim", 12)
+    dpm_out = run("dpm++2m", 12)
+    assert dpm_out.shape == ddim_out.shape
+    assert np.isfinite(dpm_out).all()
+    assert dpm_out.min() >= 0.0 and dpm_out.max() <= 1.0
+    # same ODE, different solver: outputs agree to solver truncation error
+    diff = np.abs(dpm_out.astype(np.float64) - ddim_out).mean()
+    assert diff < 0.1, diff
+    assert not np.array_equal(dpm_out, ddim_out)
+    # composes with CFG-uncond caching (the body_g path)
+    combo = run("dpm++2m", 12, stride=2)
+    assert np.isfinite(combo).all()
+    assert np.abs(combo.astype(np.float64) - dpm_out).mean() < 0.05
+
+
 def test_uncond_mask_schedule():
     from hallo_tpu.diffusion.cache import make_uncond_mask
 
