@@ -11,7 +11,11 @@ against an A100 PyTorch estimate of ~0.8 frames/sec (40-step DDIM CFG at
 512^2 is ~65 UNet3D+ReferenceNet evals per 16-frame clip) until the
 reference baseline is measured for real — see BASELINE.md action item.
 
-Env knobs: HALLO_BENCH_SCALE=tiny|full, HALLO_BENCH_STEPS, HALLO_BENCH_REPEATS.
+Env knobs: HALLO_BENCH_SCALE=tiny|full, HALLO_BENCH_STEPS, HALLO_BENCH_REPEATS,
+HALLO_BENCH_SAMPLER=ddim|dpm++2m, HALLO_BENCH_FAST=1|0 (also measure the named
+"fast" profile — dpm++2m @ 15 evals + cfg_cache_stride 3, the audited
+quality-traded mode of scripts/inference.py --profile fast — and report it
+under detail.fast_profile; the headline stays the exact path).
 """
 
 from __future__ import annotations
@@ -72,6 +76,7 @@ def main() -> None:
     step_cache = os.environ.get("HALLO_BENCH_STEP_CACHE") or None
     cache_thresh = float(os.environ.get("HALLO_BENCH_CACHE_THRESH", "0.10"))
     cfg_stride = int(os.environ.get("HALLO_BENCH_CFG_STRIDE", "1"))
+    sampler = os.environ.get("HALLO_BENCH_SAMPLER", "ddim")
     pipe = FaceAnimatePipeline(
         models,
         SchedulerConfig(),
@@ -82,6 +87,7 @@ def main() -> None:
         step_cache=step_cache,
         step_cache_threshold=cache_thresh,
         cfg_cache_stride=cfg_stride,
+        sampler=sampler,
     )
     # HALLO_BENCH_BATCH > 1 measures the long-form config (BASELINE.md
     # config 4): several identities generated in one batched clip program.
@@ -130,19 +136,51 @@ def main() -> None:
     # dispatched through the ON-DEVICE motion carry before clip c's frames
     # are fetched, so the uint8 host fetch overlaps the next clip's denoise
     # (pipelines/face_animate.py __call__ does exactly this).
+    def measure_sustained(p, n_clips):
+        base = list(args)
+        t0 = time.perf_counter()
+        pending = None
+        for _ in range(n_clips):
+            frames, motion = p._generate_clip(*base)
+            base[1] = jnp.concatenate([base[1][:, :1], motion], axis=1)
+            if pending is not None:
+                np.asarray(pending)
+            pending = frames
+        np.asarray(pending)
+        return (time.perf_counter() - t0) / n_clips
+
     n_clips = max(repeats, 2)
-    base = list(args)
-    t0 = time.perf_counter()
-    pending = None
-    for _ in range(n_clips):
-        frames, motion = pipe._generate_clip(*base)
-        base[1] = jnp.concatenate([base[1][:, :1], motion], axis=1)
-        if pending is not None:
-            np.asarray(pending)
-        pending = frames
-    np.asarray(pending)
-    sustained_s = (time.perf_counter() - t0) / n_clips
+    sustained_s = measure_sustained(pipe, n_clips)
     fps = batch * clip / sustained_s
+
+    # Named "fast" profile (scripts/inference.py --profile fast): DPM-Solver++
+    # (2M) at 15 evals + CFG-uncond caching stride 3 — the audited
+    # quality-traded mode (BASELINE.md speed/quality matrix). Measured in the
+    # same run so BENCH_r*.json carries exact AND fast numbers.
+    fast_detail = None
+    if os.environ.get("HALLO_BENCH_FAST", "1") != "0" and step_cache is None \
+            and cfg_stride == 1 and sampler == "ddim":
+        log("compiling fast profile (dpm++2m @ 15 + cfg_cache_stride 3)")
+        fast_pipe = FaceAnimatePipeline(
+            models, SchedulerConfig(), num_inference_steps=15,
+            guidance_scale=3.5, clip_length=clip, n_motion_frames=m,
+            cfg_cache_stride=3, sampler="dpm++2m",
+        )
+        t0 = time.perf_counter()
+        np.asarray(fast_pipe._generate_clip(*args)[0])
+        fast_compile_s = time.perf_counter() - t0
+        log(f"fast profile compile+first {fast_compile_s:.1f}s")
+        fast_sustained = measure_sustained(fast_pipe, n_clips)
+        fast_detail = {
+            "fps": round(batch * clip / fast_sustained, 4),
+            "clip_seconds_sustained": round(fast_sustained, 4),
+            "sampler": "dpm++2m",
+            "steps": 15,
+            "cfg_cache_stride": 3,
+            "compile_plus_first_s": round(fast_compile_s, 2),
+            "quality_note": "PSNR/SSIM-vs-exact audited in BASELINE.md "
+                            "(scripts/eval_cache_quality.py fast-profile row)",
+        }
 
     result = {
         "metric": f"frames_per_sec_per_chip_{height}x{width}_{steps}step_ddim",
@@ -162,6 +200,8 @@ def main() -> None:
             "batch": batch,
             "step_cache": step_cache,
             "cfg_cache_stride": cfg_stride,
+            "sampler": sampler,
+            "fast_profile": fast_detail,
             "baseline_note": "A100 fps is an estimate; reference publishes none",
         },
     }

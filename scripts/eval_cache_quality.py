@@ -113,12 +113,12 @@ def main() -> None:
         jnp.ones(3),
     )
 
-    def run(step_cache, thresh, cfg_stride=1):
+    def run(step_cache, thresh, cfg_stride=1, sampler="ddim", n_steps=None):
         pipe = FaceAnimatePipeline(
-            models, SchedulerConfig(), num_inference_steps=steps,
+            models, SchedulerConfig(), num_inference_steps=n_steps or steps,
             guidance_scale=3.5, clip_length=clip, n_motion_frames=m,
             step_cache=step_cache, step_cache_threshold=thresh,
-            cfg_cache_stride=cfg_stride,
+            cfg_cache_stride=cfg_stride, sampler=sampler,
         )
         t0 = time.perf_counter()
         frames = np.asarray(
@@ -136,23 +136,45 @@ def main() -> None:
     exact, exact_s, c0 = run(None, 0.0)
     log(f"exact {exact_s:.2f}s/clip (compile {c0:.0f}s)")
 
+    # LPIPS (the north-star acceptance metric) — computed when weights are
+    # present (pretrained_models/lpips_alex.pth or $HALLO_LPIPS_WEIGHTS),
+    # otherwise the column reports the skip reason.
+    from hallo_tpu.utils.lpips import load_lpips, lpips_from_uint8
+
+    lpips_params, lpips_status = load_lpips()
+    log(f"lpips: {lpips_status}")
+
     cfg_stride = int(os.environ.get("HALLO_EVAL_CFG_STRIDE", "3"))
+    # (step_cache, threshold, cfg_stride, sampler, n_steps, label)
     modes = (
-        [("uniform", 0.0, 1)]
-        + [("dynamic", t, 1) for t in thresholds]
-        + [(None, 0.0, cfg_stride)]                       # CFG cache alone
-        + [("dynamic", thresholds[-1], cfg_stride)]       # composed
+        [("uniform", 0.0, 1, "ddim", None, None)]
+        + [("dynamic", t, 1, "ddim", None, None) for t in thresholds]
+        + [(None, 0.0, cfg_stride, "ddim", None, None)]   # CFG cache alone
+        + [("dynamic", thresholds[-1], cfg_stride, "ddim", None, None)]
+        # the named fast profile (scripts/inference.py --profile fast):
+        # DPM-Solver++ (2M) @ 15 evals + CFG-uncond cache stride 3, judged
+        # against the 40-step DDIM exact output.
+        + [(None, 0.0, 3, "dpm++2m", 15, "fast_profile")]
     )
     results = []
-    for mode, th, stride in modes:
-        log(f"running {mode} thresh={th} cfg_stride={stride}")
-        frames, run_s, comp_s = run(mode, th, stride)
+    for mode, th, stride, sampler, n_steps, label in modes:
+        log(f"running {label or mode} thresh={th} cfg_stride={stride} "
+            f"sampler={sampler} steps={n_steps or steps}")
+        frames, run_s, comp_s = run(mode, th, stride, sampler, n_steps)
         entry = {
-            "mode": (mode or "exact") + (f"+cfg{stride}" if stride > 1 else ""),
+            "mode": label or (
+                (mode or "exact") + (f"+cfg{stride}" if stride > 1 else "")
+            ),
+            "sampler": sampler,
+            "steps": n_steps or steps,
             "threshold": th if mode == "dynamic" else None,
             "cfg_cache_stride": stride,
             "psnr_vs_exact_db": round(psnr(frames, exact), 2),
             "ssim_vs_exact": round(ssim(frames, exact), 4),
+            "lpips_vs_exact": (
+                round(lpips_from_uint8(lpips_params, frames, exact), 4)
+                if lpips_params is not None else None
+            ),
             "mean_abs_diff": round(
                 float(np.mean(np.abs(frames.astype(np.float64) - exact))), 3
             ),
@@ -168,6 +190,7 @@ def main() -> None:
         "scale": scale,
         "steps": steps,
         "weights": "random-init (relative numbers; see docstring)",
+        "lpips": lpips_status,
         "modes": results,
     }))
 
