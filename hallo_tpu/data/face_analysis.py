@@ -45,6 +45,22 @@ class FaceAnalyzer:
         self._onnx_jax = None
         self._mediapipe = None
         self._cascade = None
+        self._landmarker = None
+        # Dense-landmark path without mediapipe: a 468/478-pt face-mesh ONNX
+        # next to the SCRFD/ArcFace files runs through the JAX executor
+        # (data/landmark_jax.py); mediapipe still wins when installed.
+        try:
+            from hallo_tpu.data.landmark_jax import (
+                JaxFaceLandmarker, find_landmark_model,
+            )
+
+            lm_path = find_landmark_model(
+                model_path or "./pretrained_models/face_analysis"
+            )
+            if lm_path:
+                self._landmarker = JaxFaceLandmarker(lm_path)
+        except Exception as e:  # wrong/unsupported model file: keep fallback
+            logger.warning("landmark onnx unavailable: %s", e)
         if backend in ("auto", "insightface"):
             try:
                 from insightface.app import FaceAnalysis  # type: ignore
@@ -163,7 +179,7 @@ class FaceAnalyzer:
 
         h, w = image_rgb.shape[:2]
         face = self.detect(image_rgb)
-        landmarks = self._landmarks(image_rgb)
+        landmarks = self._landmarks(image_rgb, face.bbox)
         if landmarks is not None:
             face.landmarks = landmarks
             face_mask = mk.face_mask_from_landmarks(landmarks, h, w, face_expand_ratio)
@@ -195,11 +211,18 @@ class FaceAnalyzer:
         lip_mask = mk.bbox_mask(lip_box, h, w, 2.0)
         return face_mask, lip_mask, face
 
-    def _landmarks(self, image_rgb: np.ndarray) -> Optional[np.ndarray]:
+    def _landmarks(
+        self, image_rgb: np.ndarray, bbox=None
+    ) -> Optional[np.ndarray]:
         if self._mediapipe is None:
             try:
                 import mediapipe  # type: ignore  # noqa: F401
             except Exception:
+                if self._landmarker is not None:
+                    try:
+                        return self._landmarker(image_rgb, bbox)
+                    except Exception as e:
+                        logger.warning("landmark onnx inference failed: %s", e)
                 return None
         # mediapipe landmark extraction (only reached when installed)
         try:
