@@ -134,6 +134,14 @@ def train_stage1_process(cfg) -> None:
     )
     data_sharding = NamedSharding(mesh, P("data"))
     replicated = NamedSharding(mesh, P())
+    # mesh.model > 1: tensor parallelism over the wide denses (GSPMD param
+    # shardings, parallel/tp.py); GSPMD path only — see train_stage2.py.
+    if mesh.shape.get("model", 1) > 1 and not use_seq:
+        from hallo_tpu.parallel.tp import tp_shardings
+
+        param_sharding = tp_shardings(state.params, mesh)
+    else:
+        param_sharding = jax.tree.map(lambda _: replicated, state.params)
     opt_sharding = (
         zero_shard_tree(state.opt_state, mesh)
         if psettings["zero_optimizer_sharding"]
@@ -141,7 +149,7 @@ def train_stage1_process(cfg) -> None:
     )
     state = TrainState(
         step=jax.device_put(state.step, replicated),
-        params=jax.device_put(state.params, replicated),
+        params=jax.device_put(state.params, param_sharding),
         opt_state=jax.device_put(state.opt_state, opt_sharding),
     )
 

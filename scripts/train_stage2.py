@@ -134,6 +134,19 @@ def train_stage2_process(cfg) -> None:
     )
     data_sharding = NamedSharding(mesh, P("data"))
     replicated = NamedSharding(mesh, P())
+    # mesh.model > 1: tensor parallelism over the wide denses (GSPMD param
+    # shardings, parallel/tp.py). Only on the GSPMD path — inside shard_map
+    # (seq > 1) params are explicitly replicated.
+    use_tp = mesh.shape.get("model", 1) > 1 and not use_seq
+    if use_tp:
+        from hallo_tpu.parallel.tp import tp_shardings
+
+        param_sharding = tp_shardings(state.params, mesh)
+    else:
+        param_sharding = jax.tree.map(lambda _: replicated, state.params)
+    # ZeRO moment sharding composes with TP: the optimizer update is
+    # elementwise per leaf, so moment layout is independent of param layout
+    # (GSPMD reshards at the boundary).
     opt_sharding = (
         zero_shard_tree(state.opt_state, mesh)
         if psettings["zero_optimizer_sharding"]
@@ -141,7 +154,7 @@ def train_stage2_process(cfg) -> None:
     )
     state = TrainState(
         step=jax.device_put(state.step, replicated),
-        params=jax.device_put(state.params, replicated),
+        params=jax.device_put(state.params, param_sharding),
         opt_state=jax.device_put(state.opt_state, opt_sharding),
     )
 
