@@ -24,9 +24,13 @@ class OptimizerConfig:
     beta2: float = 0.999
     eps: float = 1e-8
     max_grad_norm: float = 1.0
-    # reference solver knobs (configs/train/stage2.yaml:23-33)
+    # reference solver knobs (configs/train/stage2.yaml:23-37)
     lr_warmup_steps: int = 0
     gradient_accumulation_steps: int = 1
+    # bnb.optim.AdamW8bit equivalent (train_stage2.py:613-622): int8
+    # block-quantized moments — what fits full-width stage-2 moments in
+    # 16 GB HBM (train/adam8bit.py).
+    use_8bit_adam: bool = False
 
 
 def stage1_trainable(top_key: str, path: Tuple[str, ...]) -> bool:
@@ -75,16 +79,19 @@ def make_optimizer(
         # reference lr_scheduler: "constant" with lr_warmup_steps
         # (stage2.yaml:31-33, get_scheduler in train_stage*.py)
         lr = optax.linear_schedule(0.0, cfg.learning_rate, cfg.lr_warmup_steps)
-    adamw = optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(
-            lr,
-            b1=cfg.beta1,
-            b2=cfg.beta2,
-            eps=cfg.eps,
+    if cfg.use_8bit_adam:
+        from hallo_tpu.train.adam8bit import adamw_8bit
+
+        inner = adamw_8bit(
+            lr, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps,
             weight_decay=cfg.weight_decay,
-        ),
-    )
+        )
+    else:
+        inner = optax.adamw(
+            lr, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps,
+            weight_decay=cfg.weight_decay,
+        )
+    adamw = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), inner)
     tx = optax.multi_transform(
         {"train": adamw, "freeze": optax.set_to_zero()}, labels
     )

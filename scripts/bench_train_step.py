@@ -44,14 +44,34 @@ def main():
     remat = os.environ.get("HALLO_TRAIN_BENCH_REMAT", "1") == "1"
     repeats = int(os.environ.get("HALLO_TRAIN_BENCH_REPEATS", "3"))
 
-    log(f"building full-width models {h}x{w} f={f} b={b} remat={remat} bf16")
+    mixed = os.environ.get("HALLO_TRAIN_BENCH_MIXED", "1") == "1"
+    log(f"building full-width models {h}x{w} f={f} b={b} remat={remat} bf16 "
+        f"mixed_frozen={mixed}")
     models = build_models(
         "full", dtype=jnp.bfloat16, init_key=jax.random.PRNGKey(0),
         height=h, width=w, clip_length=f, n_motion_frames=m,
         unet_overrides=dict(remat=remat),
     )
     labels = label_params(models.params, stage2_trainable)
-    tx = make_optimizer(OptimizerConfig(), labels)
+    if mixed:
+        # All-fp32 params OOM on a 16 GB v5e (measured r3: 24.0 G needed —
+        # ~7.2 G fp32 params + moments + 9.3 G program temps). Stage 2
+        # freezes everything except motion/audio modules + audio_proj, and
+        # the forward casts to bf16 regardless, so frozen masters carry no
+        # value in fp32: keep fp32 ONLY for the optimizer-updated leaves
+        # (the reference itself trains fp16 weights — stage2.yaml
+        # weight_dtype). This is the documented OOM fix.
+        models.params = jax.tree.map(
+            lambda p, l: (
+                p.astype(jnp.bfloat16)
+                if l == "freeze" and jnp.issubdtype(p.dtype, jnp.floating)
+                else p
+            ),
+            models.params, labels,
+        )
+    # reference stage-2 parity: bnb AdamW8bit (stage2.yaml use_8bit_adam)
+    adam8 = os.environ.get("HALLO_TRAIN_BENCH_8BIT", "1") == "1"
+    tx = make_optimizer(OptimizerConfig(use_8bit_adam=adam8), labels)
     state = TrainState.create(models.params, tx)
     step_fn = jax.jit(
         make_train_step(models, tx, TrainConfig(stage=2)), donate_argnums=(0,)

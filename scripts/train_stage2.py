@@ -110,6 +110,9 @@ def train_stage2_process(cfg) -> None:
             gradient_accumulation_steps=int(
                 getattr(solver, "gradient_accumulation_steps", 1)
             ),
+            # reference stage2.yaml:37 use_8bit_adam (bnb AdamW8bit ->
+            # train/adam8bit.py int8 block-quantized moments)
+            use_8bit_adam=bool(getattr(solver, "use_8bit_adam", False)),
         ),
         labels,
     )
