@@ -2,10 +2,18 @@
 
 "full" is the production SD-1.5-based configuration (SURVEY.md appendix
 invariants); "tiny" is for CPU tests and multichip dry-runs.
+
+With $HALLO_PARAM_CACHE set to a directory (tests/conftest.py does),
+random-init params are cached to disk: param SHAPES/VALUES depend only on
+the module configs + init key (never on height/width/clip_length — those
+only shape the init traces), so one init serves every test. On this 1-core
+host the six jit-inits are the dominant per-test cost (r2 suite: 28½ min).
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -83,15 +91,93 @@ def build_models(
     else:
         raise ValueError(scale)
     if init_key is not None:
-        models.init_params(
-            init_key,
-            height=height,
-            width=width,
-            clip_length=clip_length,
-            n_motion_frames=n_motion_frames,
-            param_dtype=param_dtype,
-        )
+        cached = _param_cache_get(scale, overrides, dtype, param_dtype, init_key)
+        if cached is not None:
+            models.params = cached
+        else:
+            models.init_params(
+                init_key,
+                height=height,
+                width=width,
+                clip_length=clip_length,
+                n_motion_frames=n_motion_frames,
+                param_dtype=param_dtype,
+            )
+            _param_cache_put(
+                scale, overrides, dtype, param_dtype, init_key, models.params
+            )
     return models
+
+
+# ---------------------------------------------------------------------------
+# Disk cache for random-init params (tests; see module docstring)
+
+
+def _param_cache_path(scale, overrides, dtype, param_dtype, init_key):
+    root = os.environ.get("HALLO_PARAM_CACHE")
+    if not root or scale == "full":  # full-scale params are GBs; never cache
+        return None
+    import numpy as np
+
+    try:
+        key_bytes = np.asarray(jax.random.key_data(init_key)).tobytes()
+    except Exception:
+        key_bytes = np.asarray(init_key).tobytes()
+    tag = repr((scale, sorted((k, repr(v)) for k, v in overrides.items()),
+                str(dtype), str(param_dtype)))
+    digest = hashlib.sha1(tag.encode() + key_bytes).hexdigest()[:16]
+    return os.path.join(root, f"params_{digest}.npz")
+
+
+def _flatten(tree, prefix="", out=None):
+    from collections.abc import Mapping
+
+    out = {} if out is None else out
+    for k, v in tree.items():
+        p = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, Mapping):
+            _flatten(v, p, out)
+        else:
+            out[p] = v
+    return out
+
+
+def _param_cache_get(scale, overrides, dtype, param_dtype, init_key):
+    path = _param_cache_path(scale, overrides, dtype, param_dtype, init_key)
+    if not path or not os.path.exists(path):
+        return None
+    import numpy as np
+
+    try:
+        with np.load(path) as z:
+            flat = {k: z[k] for k in z.files}
+    except Exception:
+        return None
+    params: Dict[str, Any] = {}
+    for k, v in flat.items():
+        node = params
+        parts = k.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(v)
+    return params
+
+
+def _param_cache_put(scale, overrides, dtype, param_dtype, init_key, params):
+    path = _param_cache_path(scale, overrides, dtype, param_dtype, init_key)
+    if not path:
+        return
+    import numpy as np
+
+    flat = {k: np.asarray(v) for k, v in _flatten(params).items()}
+    if any(v.dtype.kind not in "fiub" for v in flat.values()):
+        return  # ml_dtypes (bf16 etc.) don't survive np.savez; skip caching
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    # np.savez appends ".npz" when the name lacks it — keep the suffix so
+    # the atomic rename source matches what was actually written.
+    tmp = f"{path[:-4]}.tmp{os.getpid()}.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
 
 
 def dummy_clip_inputs(

@@ -50,10 +50,11 @@ def main() -> None:
                 gr.Number(label="lip weight", value=1.0),
                 gr.Dropdown(
                     label="speed profile",
-                    choices=["exact", "fast"],
+                    choices=["exact", "fast", "turbo"],
                     value="exact",
-                    info="fast = DPM-Solver++ 2M @ 15 evals + CFG cache "
-                         "(~2.6x, audited in BASELINE.md)",
+                    info="fast = DPM-Solver++ 2M @ 15 evals + CFG cache; "
+                         "turbo adds the dynamic step cache "
+                         "(speed/quality audit in BASELINE.md)",
                 ),
             ],
             outputs=[gr.Video()],

@@ -155,6 +155,8 @@ def main() -> None:
         # DPM-Solver++ (2M) @ 15 evals + CFG-uncond cache stride 3, judged
         # against the 40-step DDIM exact output.
         + [(None, 0.0, 3, "dpm++2m", 15, "fast_profile")]
+        # --profile turbo: fast + the dynamic step cache on top
+        + [("dynamic", thresholds[-1], 3, "dpm++2m", 15, "turbo_profile")]
     )
     results = []
     for mode, th, stride, sampler, n_steps, label in modes:

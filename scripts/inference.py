@@ -135,6 +135,13 @@ def inference_process(args: argparse.Namespace) -> str:
     try:
         w2v_params = load_wav2vec_params(str(config.wav2vec.model_path), w2v_init)
     except FileNotFoundError:
+        # Same strictness as net.pth: random-init audio embeddings produce
+        # garbage videos, so smoke mode must be opted into explicitly.
+        if not allow_partial:
+            raise SystemExit(
+                f"wav2vec weights missing at {config.wav2vec.model_path!r}; "
+                "pass --allow-partial to run in smoke mode with random init"
+            )
         logger.warning("wav2vec weights missing; using random init (smoke mode)")
         w2v_params = w2v_init
     audio_proc = AudioProcessor(
@@ -165,9 +172,14 @@ def inference_process(args: argparse.Namespace) -> str:
         # the audited fast profile (scripts/eval_cache_quality.py).
         "fast": {"sampler": "dpm++2m", "inference_steps": 15,
                  "cfg_cache_stride": 3},
+        # fast + the dynamic step cache on top: the deepest quality trade
+        # (cached model outputs perturb the multistep history) — use only
+        # where BASELINE.md's audit row is acceptable.
+        "turbo": {"sampler": "dpm++2m", "inference_steps": 15,
+                  "cfg_cache_stride": 3, "step_cache": "dynamic"},
     }
     if profile not in prof_defaults:
-        raise SystemExit(f"--profile {profile!r}: expected exact|fast")
+        raise SystemExit(f"--profile {profile!r}: expected exact|fast|turbo")
     prof = prof_defaults[profile]
 
     sampler = (getattr(args, "sampler", None)
@@ -266,9 +278,11 @@ def main() -> None:
         "--inference_steps", type=int, default=None,
         help="override the config's denoise step count")
     parser.add_argument(
-        "--profile", type=str, default=None, choices=("exact", "fast"),
-        help="named speed profile: exact (default) or fast "
-             "(dpm++2m @ 15 steps + cfg_cache_stride 3)")
+        "--profile", type=str, default=None,
+        choices=("exact", "fast", "turbo"),
+        help="named speed profile: exact (default), fast (dpm++2m @ 15 "
+             "steps + cfg_cache_stride 3), or turbo (fast + dynamic step "
+             "cache — deepest quality trade, see BASELINE.md audit)")
     inference_process(parser.parse_args())
 
 

@@ -36,3 +36,7 @@ jax.config.update("jax_platforms", "cpu")
 # Drop only the axon tunnel backend; "tpu" must stay registered as a known
 # platform or pallas-TPU imports fail (mlir lowering registration).
 _xb._backend_factories.pop("axon", None)
+
+# Random-init tiny params cached to disk (utils/factory.py): the six
+# jit-inits per build_models() dominated the r2 suite wall clock.
+os.environ.setdefault("HALLO_PARAM_CACHE", "/root/repo/.test_cache")

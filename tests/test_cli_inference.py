@@ -110,6 +110,9 @@ def test_cli_inference_smoke(tmp_path):
         lip_weight=None,
         face_expand_ratio=None,
         audio_ckpt_dir=None,
+        # wav2vec weights are absent in this env: smoke mode is an explicit
+        # opt-in now (random-init embeddings otherwise hard-fail like net.pth)
+        allow_partial=True,
     )
     result = inference_process(args)
     assert os.path.exists(result), result

@@ -19,7 +19,7 @@ def cache_dir(tmp_path, monkeypatch):
 
 
 def test_cache_roundtrip_bit_identical(cache_dir):
-    kw = dict(height=32, width=32, clip_length=2, n_motion_frames=2)
+    kw = dict(height=64, width=64, clip_length=2, n_motion_frames=2)
     fresh = build_models("tiny", init_key=jax.random.PRNGKey(3), **kw).params
     files = list(cache_dir.glob("params_*.npz"))
     assert len(files) == 1, files
@@ -27,7 +27,7 @@ def test_cache_roundtrip_bit_identical(cache_dir):
     # are shape-independent — the factory docstring's claim, pinned here)
     cached = build_models(
         "tiny", init_key=jax.random.PRNGKey(3),
-        height=64, width=64, clip_length=4, n_motion_frames=2,
+        height=128, width=128, clip_length=4, n_motion_frames=2,
     ).params
     assert len(list(cache_dir.glob("params_*.npz"))) == 1
     jax.tree.map(
@@ -37,7 +37,7 @@ def test_cache_roundtrip_bit_identical(cache_dir):
 
 
 def test_cache_key_separates_seed_and_overrides(cache_dir):
-    kw = dict(height=32, width=32, clip_length=2, n_motion_frames=2)
+    kw = dict(height=64, width=64, clip_length=2, n_motion_frames=2)
     build_models("tiny", init_key=jax.random.PRNGKey(0), **kw)
     build_models("tiny", init_key=jax.random.PRNGKey(1), **kw)
     build_models(
@@ -49,7 +49,7 @@ def test_cache_key_separates_seed_and_overrides(cache_dir):
 
 def test_bf16_params_bypass_cache(cache_dir):
     build_models(
-        "tiny", init_key=jax.random.PRNGKey(0), height=32, width=32,
+        "tiny", init_key=jax.random.PRNGKey(0), height=64, width=64,
         clip_length=2, n_motion_frames=2, param_dtype=jnp.bfloat16,
     )
     assert not list(cache_dir.glob("params_*.npz"))

@@ -42,60 +42,19 @@ AP_TINY = AudioProjConfig(seq_len=3, blocks=2, channels=4, intermediate_dim=8,
                           output_dim=6, context_tokens=3)
 
 
-def _init_models(rng_key, h=32, f=4, m=2):
-    ref_cfg = reference_unet_config(**TINY)
-    den_cfg = denoising_unet_config(**TINY)
-    models = HalloModels.create(
-        ref_cfg, den_cfg, params={}, vae_config=VAE_TINY,
-        face_locator_config=FL_TINY, image_proj_config=IP_TINY,
-        audio_proj_config=AP_TINY,
+# One init for the whole module (every test uses h=64, f=4, m=2): the six
+# jit-inits per test dominated the r2 suite wall clock; build_models also
+# hits the HALLO_PARAM_CACHE disk cache across processes. TINY above is
+# kept: it mirrors utils/factory.TINY_* and documents the shapes the tests
+# assert against.
+@pytest.fixture(scope="module")
+def tiny_models():
+    from hallo_tpu.utils.factory import build_models
+
+    return build_models(
+        "tiny", init_key=jax.random.PRNGKey(0), height=64, width=64,
+        clip_length=4, n_motion_frames=2,
     )
-    keys = jax.random.split(rng_key, 6)
-    hl = h // 8
-    params = {}
-    params["vae"] = jax.jit(models.vae.init)(keys[0], jnp.zeros((1, h, h, 3)))
-    ref_b = 1 + m
-    params["reference_net"] = jax.jit(models.reference_net.init)(
-        keys[1], jnp.zeros((ref_b, hl, hl, 4)), jnp.zeros(()), jnp.zeros((ref_b, 4, 12))
-    )
-    params["face_locator"] = jax.jit(models.face_locator.init)(
-        keys[2], jnp.zeros((1, f, h, h, 3))
-    )
-    params["image_proj"] = jax.jit(models.image_proj.init)(keys[3], jnp.zeros((1, 16)))
-    params["audio_proj"] = jax.jit(models.audio_proj.init)(
-        keys[4], jnp.zeros((1, f, 3, 2, 4))
-    )
-    masks = tuple(
-        tuple(jnp.ones((2, (hl // 2**d) ** 2)) for _ in range(3)) for d in range(4)
-    )
-    feat_shapes = jax.eval_shape(
-        lambda p: models.reference_net.apply(
-            p, jnp.zeros((2 * ref_b, hl, hl, 4)), jnp.zeros(()),
-            jnp.zeros((2 * ref_b, 4, 12)),
-        )[1],
-        params["reference_net"],
-    )
-    ref_feats = jax.tree.map(
-        lambda s: jnp.zeros((2,) + s.shape[1:], s.dtype), feat_shapes
-    )
-    motion_feats = jax.tree.map(
-        lambda s: jnp.zeros((2, m) + s.shape[1:], s.dtype), feat_shapes
-    )
-    params["denoising_net"] = jax.jit(models.denoising_net.init)(
-        keys[5],
-        jnp.zeros((2, f, hl, hl, 4)),
-        jnp.zeros(()),
-        jnp.zeros((2, 4, 12)),
-        ref_feats,
-        motion_feats,
-        jnp.zeros((2, f, 3, 6)),
-        jnp.zeros((2, f, hl, hl, 8)),
-        tuple(tuple(jnp.tile(x, (f, 1)) for x in lvl) for lvl in masks),
-        jnp.ones(3),
-        jnp.asarray([1.0, 0.0]),
-    )
-    models.params = params
-    return models
 
 
 def test_dynamic_allow_mask():
@@ -120,11 +79,11 @@ def test_window_audio_embeddings_edge_clamp():
 
 
 @pytest.mark.slow
-def test_pipeline_dynamic_step_cache():
+def test_pipeline_dynamic_step_cache(tiny_models):
     """step_cache='dynamic' (TeaCache-style on-device criterion) must stay
     finite/in-range and close to the exact path at a tight threshold."""
     h, f, m = 64, 4, 2
-    models = _init_models(jax.random.PRNGKey(0), h=h, f=f, m=m)
+    models = tiny_models
 
     def run(cache, thresh=0.05):
         pipe = FaceAnimatePipeline(
@@ -157,9 +116,9 @@ def test_pipeline_dynamic_step_cache():
 
 
 @pytest.mark.slow
-def test_pipeline_two_clips():
+def test_pipeline_two_clips(tiny_models):
     h, f, m = 64, 4, 2
-    models = _init_models(jax.random.PRNGKey(0), h=h, f=f, m=m)
+    models = tiny_models
     pipe = FaceAnimatePipeline(
         models,
         SchedulerConfig(),
@@ -185,11 +144,11 @@ def test_pipeline_two_clips():
 
 
 @pytest.mark.slow
-def test_pipeline_dpm_sampler():
+def test_pipeline_dpm_sampler(tiny_models):
     """sampler='dpm++2m' end-to-end (incl. composition with the CFG cache):
     finite, in-range, and close to the DDIM path on a tiny model."""
     h, f, m = 64, 4, 2
-    models = _init_models(jax.random.PRNGKey(0), h=h, f=f, m=m)
+    models = tiny_models
 
     def run(sampler, steps, stride=1):
         pipe = FaceAnimatePipeline(
@@ -237,12 +196,12 @@ def test_uncond_mask_schedule():
 
 
 @pytest.mark.slow
-def test_pipeline_cfg_cache():
+def test_pipeline_cfg_cache(tiny_models):
     """cfg_cache_stride: cond-only steps reuse the cached uncond prediction.
     With 12 steps / stride 2 exactly one step skips the uncond half; the
     output must stay finite/in-range and close to the exact path."""
     h, f, m = 64, 4, 2
-    models = _init_models(jax.random.PRNGKey(0), h=h, f=f, m=m)
+    models = tiny_models
 
     def run(stride, steps=12):
         pipe = FaceAnimatePipeline(
@@ -280,11 +239,11 @@ def test_pipeline_cfg_cache():
 
 
 @pytest.mark.slow
-def test_pipeline_cfg_cache_composes_with_dynamic():
+def test_pipeline_cfg_cache_composes_with_dynamic(tiny_models):
     """step_cache='dynamic' + cfg_cache_stride>1 (the body_dg path with the
     nested uncond cond): finite, in-range, close to exact."""
     h, f, m = 64, 4, 2
-    models = _init_models(jax.random.PRNGKey(0), h=h, f=f, m=m)
+    models = tiny_models
 
     def run(cache, stride):
         pipe = FaceAnimatePipeline(
