@@ -42,10 +42,31 @@ LANES = 128
 # (heads, 8, block_q) f32 stats output + double-buffered io blocks on top of
 # the inference kernel's footprint, and at the inference-optimal 1024x1024
 # blocks the 512^2 spatial shape exceeds the 16 MB scoped-vmem limit by ~2 MB
-# (measured: 18.07M on the stage-2 full-width step). Forward and backward
-# MUST share this clamp — the backward reads the lse saved by the forward
-# with the same tiling assumptions.
+# (measured: 18.07M on the stage-2 full-width step). The backward tiles
+# independently of the forward (the saved lse is a dense (B, heads, 1, Lq)
+# array, re-padded to the backward's own block_q), so the backward may use
+# SMALLER blocks than the forward where its extra buffers (do, dd, dk/dv
+# accumulators) push past the limit.
 TRAIN_BLOCK_MAX = 512
+
+
+def _train_bwd_blocks(c: int, block_q: int, block_k: int) -> tuple:
+    """Channel-aware scoped-VMEM clamp for the packed flash BACKWARD.
+
+    The dK/dV pass holds double-buffered (block, C) io blocks for q/do/k/v
+    AND dk/dv outputs, two (heads, d, block_k) f32 accumulators, plus the
+    per-head (block_k, block_q) f32 score/weight temporaries — all of which
+    scale with C. Measured on the stage-2 full-width step (512²×14f):
+    C=320 fits at 512x512, but C=640 (up_blocks_2 ref-concat self-attention,
+    Lq=1024/Lk=2048) needs 16.28M vs the 16.00M scoped-vmem limit. Shrinking
+    the kv block (and the q block too at C>768, e.g. the 1280-ch mid block)
+    brings every production shape under ~12M with >=128-row MXU tiles.
+    """
+    if c <= 512:
+        return min(block_q, TRAIN_BLOCK_MAX), min(block_k, TRAIN_BLOCK_MAX)
+    if c <= 768:
+        return min(block_q, TRAIN_BLOCK_MAX), min(block_k, 256)
+    return min(block_q, 256), min(block_k, 256)
 LOG2E = math.log2(math.e)
 
 
@@ -711,9 +732,9 @@ def _flash_packed_bwd(heads, scale, block_q, block_k, residuals, g):
         )
         dq, dk, dv, dbias = vjp(g)
         return dq, dk, dv, (None if bias is None else dbias)
+    bwd_q, bwd_k = _train_bwd_blocks(q.shape[-1], block_q, block_k)
     dq, dk, dv = _flash_backward_packed(
-        q, k, v, bias, out, lse, g, heads, scale,
-        min(block_q, TRAIN_BLOCK_MAX), min(block_k, TRAIN_BLOCK_MAX),
+        q, k, v, bias, out, lse, g, heads, scale, bwd_q, bwd_k,
     )
     return dq, dk, dv, (None if bias is None else jnp.zeros_like(bias))
 

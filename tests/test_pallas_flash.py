@@ -268,6 +268,53 @@ def test_flash_packed_pallas_backward_vs_oracle():
             )
 
 
+def test_train_bwd_blocks_channel_clamp():
+    """Scoped-VMEM clamp: backward blocks shrink with channel count.
+    Measured: C=640 at 512x512 needs 16.28M vs the 16M limit (stage-2
+    full-width step, up_blocks_2 ref-concat attention)."""
+    from hallo_tpu.ops.pallas_flash import _train_bwd_blocks
+
+    assert _train_bwd_blocks(320, 1024, 1024) == (512, 512)
+    assert _train_bwd_blocks(640, 1024, 1024) == (512, 256)
+    assert _train_bwd_blocks(1280, 1024, 1024) == (256, 256)
+    # never widens blocks the caller already made small
+    assert _train_bwd_blocks(640, 128, 128) == (128, 128)
+
+
+def test_flash_packed_pallas_backward_wide_channels():
+    """Backward numerics at C=640 (heads=8, d=80) with blocks large enough
+    to trigger the channel-aware clamp (512 -> kv 256)."""
+    from hallo_tpu.ops.pallas_flash import (
+        _xla_reference_packed,
+        flash_attention_packed,
+    )
+
+    rng = np.random.default_rng(7)
+    b, lq, lk, heads, d = 1, 256, 512, 8, 80
+    c = heads * d
+    q = jnp.asarray(rng.normal(size=(b, lq, c)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, lk, c)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, lk, c)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(b, lq, c)), jnp.float32)
+
+    def loss_kernel(q, k, v):
+        out = flash_attention_packed(
+            q, k, v, heads=heads, block_q=512, block_k=512
+        )
+        return jnp.sum(out * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_reference_packed(q, k, v, None, heads, d ** -0.5) * w)
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("q k v".split(), g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-4, err_msg=f"d{name}"
+        )
+
+
 def test_flash_packed_backward_env_fallback(monkeypatch):
     """HALLO_FLASH_BWD=xla selects the recompute path (exact dbias)."""
     from hallo_tpu.ops.pallas_flash import (
