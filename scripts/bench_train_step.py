@@ -112,11 +112,28 @@ def main():
         times.append(time.perf_counter() - t0)
         log(f"step {i}: {times[-1]:.3f}s loss={loss:.4f}")
     best = min(times)
-    print(
-        f'{{"metric": "stage2_train_step_{h}x{w}_{f}f_b{b}", '
-        f'"value": {best:.4f}, "unit": "sec/step", '
-        f'"remat": {str(remat).lower()}, "dtype": "bf16"}}'
-    )
+    hbm_peak_gb = None
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
+        if peak:
+            hbm_peak_gb = round(peak / 2**30, 3)
+    except Exception as e:  # the axon tunnel may not forward memory_stats
+        log(f"memory_stats unavailable: {e}")
+    import json
+
+    print(json.dumps({
+        "metric": f"stage2_train_step_{h}x{w}_{f}f_b{b}",
+        "value": round(best, 4),
+        "unit": "sec/step",
+        "remat": remat,
+        "dtype": "bf16",
+        "mixed_frozen_bf16": mixed,
+        "adam8bit": adam8,
+        "flash_bwd": os.environ.get("HALLO_FLASH_BWD", "pallas"),
+        "hbm_peak_gb": hbm_peak_gb,
+        "all_step_seconds": [round(t, 4) for t in times],
+    }))
 
 
 if __name__ == "__main__":
