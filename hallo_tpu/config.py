@@ -94,6 +94,11 @@ class UNetConfig:
     # memory, the reference's enable_gradient_checkpointing
     # (unet_3d_blocks.py:681-748, stage2.yaml).
     remat: bool = False
+    # Nested per-LAYER remat inside each block (unet_blocks.inner_remat):
+    # bounds the backward replay's live set to one sub-layer's temporaries.
+    # Needed to fit the full-width 512² stage-2 step in 16 GB HBM (measured
+    # 22.16 G without it); costs one extra forward inside the replay.
+    remat_inner: bool = False
 
     # Where motion-frame features are fused before the motion module.
     # The reference concatenates them in *all* blocks on the training

@@ -99,7 +99,14 @@ class SpatialTransformerBlock(nn.Module):
         context: jax.Array,
         frames: int,
         uncond_mask: Optional[jax.Array] = None,
+        ref_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
     ) -> jax.Array:
+        """ref_kv: optional pre-projected attn1 key/value rows for the ref
+        tokens, each (B, Lref, inner) matching ref_feature's batch — the
+        step-invariant half of the KV projection hoisted out of the sampling
+        loop by `unet_denoise.spatial_ref_kv` (exact math: to_k/to_v have no
+        bias, so projecting the concat equals concatenating the projections).
+        """
         bf, l, c = x.shape
         b = bf // frames
         normed = LayerNorm(dtype=self.dtype, name="norm1")(x)
@@ -111,7 +118,13 @@ class SpatialTransformerBlock(nn.Module):
             dtype=self.dtype,
             name="attn1",
         )
-        if ref_feature is None:
+
+        def rep_kv(kv, sl):
+            return tuple(
+                jnp.repeat(t[sl].astype(normed.dtype), frames, axis=0) for t in kv
+            )
+
+        if ref_feature is None and ref_kv is None:
             x = x + attn1(normed)
         elif self.cfg_split:
             # Inference fast path: batch is the static CFG layout
@@ -120,17 +133,28 @@ class SpatialTransformerBlock(nn.Module):
             # the KV work) instead of bias-masked attention over the concat —
             # numerically identical to the masked formulation.
             half = bf // 2
-            ref_c = jnp.repeat(
-                ref_feature[b // 2 :].astype(normed.dtype), frames, axis=0
-            )
             out_u = attn1(normed[:half])
-            kv_c = jnp.concatenate([normed[half:], ref_c], axis=1)
-            out_c = attn1(normed[half:], kv_c)
+            if ref_kv is not None:
+                out_c = attn1(
+                    normed[half:], extra_kv=rep_kv(ref_kv, slice(b // 2, None))
+                )
+            else:
+                ref_c = jnp.repeat(
+                    ref_feature[b // 2 :].astype(normed.dtype), frames, axis=0
+                )
+                kv_c = jnp.concatenate([normed[half:], ref_c], axis=1)
+                out_c = attn1(normed[half:], kv_c)
             x = x + jnp.concatenate([out_u, out_c], axis=0)
         else:
             # KV = [self tokens, ref tokens] per frame.
-            ref = jnp.repeat(ref_feature.astype(normed.dtype), frames, axis=0)
-            kv = jnp.concatenate([normed, ref], axis=1)
+            if ref_kv is not None:
+                extra = rep_kv(ref_kv, slice(None))
+                l_ref = extra[0].shape[1]
+            else:
+                extra = None
+                ref = jnp.repeat(ref_feature.astype(normed.dtype), frames, axis=0)
+                kv = jnp.concatenate([normed, ref], axis=1)
+                l_ref = ref.shape[1]
             bias = None
             if uncond_mask is not None:
                 # (B,) -> (B*F, 1, 1, L + Lref): uncond entries mask ref tokens.
@@ -139,11 +163,14 @@ class SpatialTransformerBlock(nn.Module):
                 bias = jnp.concatenate(
                     [
                         jnp.zeros((bf, 1, 1, l), jnp.float32),
-                        jnp.broadcast_to(ref_bias, (bf, 1, 1, ref.shape[1])),
+                        jnp.broadcast_to(ref_bias, (bf, 1, 1, l_ref)),
                     ],
                     axis=-1,
                 )
-            x = x + attn1(normed, kv, bias=bias)
+            if extra is not None:
+                x = x + attn1(normed, bias=bias, extra_kv=extra)
+            else:
+                x = x + attn1(normed, kv, bias=bias)
 
         normed = LayerNorm(dtype=self.dtype, name="norm2")(x)
         ctx = jnp.repeat(context, frames, axis=0) if context.shape[0] == b else context

@@ -265,7 +265,14 @@ class CrossAttention(nn.Module):
         context: Optional[jax.Array] = None,
         bias: Optional[jax.Array] = None,
         backend: Optional[str] = None,
+        extra_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
     ) -> jax.Array:
+        """extra_kv: pre-projected (B, L_extra, inner) key/value rows appended
+        after this call's own K/V projection. Because to_k/to_v carry no bias,
+        `to_k(concat([ctx, extra]))` row-equals `concat([to_k(ctx), extra_k])`
+        — callers hoist step-invariant KV (e.g. reference-feature tokens)
+        out of a sampling loop and pass the projected rows here. A `bias`
+        must already cover the concatenated key length."""
         context = x if context is None else context
         inner = self.heads * self.head_dim
         out_dim = self.out_dim if self.out_dim is not None else x.shape[-1]
@@ -301,6 +308,9 @@ class CrossAttention(nn.Module):
             q = jnp.einsum("blc,cm->blm", x, wq.astype(self.dtype))
             k = jnp.einsum("blc,cm->blm", context, wk.astype(self.dtype))
             v = jnp.einsum("blc,cm->blm", context, wv.astype(self.dtype))
+            if extra_kv is not None:
+                k = jnp.concatenate([k, extra_kv[0].astype(k.dtype)], axis=1)
+                v = jnp.concatenate([v, extra_kv[1].astype(v.dtype)], axis=1)
             flat_bias = (
                 None if bias is None else bias.reshape(bias.shape[0], -1)
             )
@@ -319,6 +329,12 @@ class CrossAttention(nn.Module):
         v = jnp.einsum(
             "blc,chd->bhld", context, wv.reshape(c_kv, h, d).astype(self.dtype)
         )
+        if extra_kv is not None:
+            bx, lx = extra_kv[0].shape[0], extra_kv[0].shape[1]
+            ek = extra_kv[0].reshape(bx, lx, h, d).swapaxes(1, 2).astype(k.dtype)
+            ev = extra_kv[1].reshape(bx, lx, h, d).swapaxes(1, 2).astype(v.dtype)
+            k = jnp.concatenate([k, ek], axis=2)
+            v = jnp.concatenate([v, ev], axis=2)
         if self.upcast:
             q, k = q.astype(jnp.float32), k.astype(jnp.float32)
         out = dot_product_attention(q, k, v, bias=bias, backend=backend)

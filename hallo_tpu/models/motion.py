@@ -70,6 +70,9 @@ class MotionModule(nn.Module):
 
     config: MotionModuleConfig
     dtype: Dtype = jnp.float32
+    # Clip-parallel mesh axis. An ATTRIBUTE (not a call arg) so the call
+    # signature stays all-arrays — nn.remat-wrappable without static_argnums.
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -83,6 +86,7 @@ class MotionModule(nn.Module):
         # per-site ReferenceNet motion-frame features (replicated across the
         # seq mesh axis), concatenated ahead of the clip on the time axis and
         # sliced off after (reference unet_3d_blocks.py:477-490).
+        seq_axis = seq_axis if seq_axis is not None else self.seq_axis
         cfg = self.config
         if motion_feats is not None and motion_feats.shape[1] == 0:
             # stage-2 "start_ratio" batches carry zero motion frames

@@ -41,6 +41,7 @@ class SpatialTransformer(nn.Module):
         ref_feature: Optional[jax.Array],
         context: jax.Array,
         uncond_mask: Optional[jax.Array] = None,
+        ref_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
     ) -> jax.Array:
         b, f, h, w, c = x.shape
         inner = self.heads * self.head_dim
@@ -49,6 +50,9 @@ class SpatialTransformer(nn.Module):
         hs = GroupNorm(self.norm_num_groups, 1e-6, name="norm")(x2)
         hs = hs.reshape(b * f, h * w, c)
         hs = Dense(inner, dtype=self.dtype, name="proj_in")(hs)
+        # spatial_ref_kv projects with blocks_0's to_k/to_v; with >1 inner
+        # blocks (never the case for SD-1.5) later blocks have their own
+        # weights, so fall back to the concat-then-project path there.
         for i in range(self.num_layers):
             hs = SpatialTransformerBlock(
                 self.heads,
@@ -57,7 +61,8 @@ class SpatialTransformer(nn.Module):
                 cfg_split=self.cfg_split,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
-            )(hs, ref_feature, context, f, uncond_mask)
+            )(hs, ref_feature, context, f, uncond_mask,
+              ref_kv if i == 0 else None)
         hs = Dense(c, dtype=self.dtype, name="proj_out")(hs)
         hs = hs.reshape(b * f, h, w, c) + residual
         return unfold_time(hs, f)

@@ -31,18 +31,33 @@ def fuse_motion_frames(
     motion_module: MotionModule,
     x: jax.Array,
     motion_feature: Optional[jax.Array],
-    seq_axis: Optional[str] = None,
 ) -> jax.Array:
     """Run the temporal module with ReferenceNet motion-frame features
     concatenated on the time axis and sliced back off
     (unet_3d_blocks.py:477-490); the concat/slice (and the clip-parallel
-    frame<->site reshard) live inside MotionModule."""
+    frame<->site reshard, via the module's seq_axis attribute) live inside
+    MotionModule."""
     b, f, h, w, c = x.shape
     mf = None
     if motion_feature is not None:
         m = motion_feature.shape[1]
         mf = motion_feature.reshape(b, m, h * w, c)
-    return motion_module(x, mf, seq_axis)
+    return motion_module(x, mf)
+
+
+def inner_remat(enable: bool):
+    """Nested per-LAYER rematerialization inside a UNet block.
+
+    The outer per-block remat (unet_denoise.maybe_remat) recomputes a whole
+    block in the backward pass, but the recomputation then needs ALL of that
+    block's intra-layer temporaries live at once — at 512²x16f the up_blocks_3
+    replay alone holds >2 GB of motion-FF activations and lane-padded
+    temporal-attention q/k/v copies (measured: the 22.16 G HBM OOM of the
+    stage-2 full-width train step). Wrapping each sub-layer in its own remat
+    bounds the replay's live set to one LAYER's temporaries: the classic
+    nested-checkpoint trade (one extra forward of recompute inside a region
+    that is already being recomputed)."""
+    return nn.remat if enable else (lambda cls: cls)
 
 
 class CrossAttnDownBlock(nn.Module):
@@ -61,6 +76,7 @@ class CrossAttnDownBlock(nn.Module):
     cfg_split: bool = False
     fuse_motion: bool = False
     seq_axis: Optional[str] = None
+    remat_inner: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -75,10 +91,12 @@ class CrossAttnDownBlock(nn.Module):
         masks: Optional[Tuple[jax.Array, jax.Array, jax.Array]],
         motion_scale: Optional[jax.Array],
         uncond_mask: Optional[jax.Array],
+        ref_kv: Optional[Sequence] = None,
     ):
+        R = inner_remat(self.remat_inner)
         states = []
         for i in range(self.num_layers):
-            x = ResnetBlock(
+            x = R(ResnetBlock)(
                 self.out_channels,
                 groups=self.norm_groups,
                 eps=self.resnet_eps,
@@ -87,7 +105,7 @@ class CrossAttnDownBlock(nn.Module):
                 dtype=self.dtype,
                 name=f"resnets_{i}",
             )(x, temb)
-            x = SpatialTransformer(
+            x = R(SpatialTransformer)(
                 self.heads,
                 self.out_channels // self.heads,
                 norm_num_groups=self.norm_groups,
@@ -95,14 +113,15 @@ class CrossAttnDownBlock(nn.Module):
                 cfg_split=self.cfg_split,
                 dtype=self.dtype,
                 name=f"attentions_{i}",
-            )(x, ref_features[i], context, uncond_mask)
+            )(x, ref_features[i], context, uncond_mask,
+              ref_kv[i] if ref_kv is not None else None)
             if self.use_audio_module and audio_context is not None:
                 # Head-dim quirk: layer 0 derives from the block *input*
                 # channels because the reference reassigns `in_channels`
                 # inside its layer loop (unet_3d_blocks.py:552, 586-589).
                 inner = self.in_channels if i == 0 else self.out_channels
                 inner = (inner // self.heads) * self.heads
-                x = AudioTransformer(
+                x = R(AudioTransformer)(
                     self.heads,
                     inner,
                     hierarchical=self.hierarchical_audio,
@@ -118,12 +137,12 @@ class CrossAttnDownBlock(nn.Module):
                     motion_scale=motion_scale,
                 )
             if self.motion_config is not None:
-                mm = MotionModule(
-                    self.motion_config, dtype=self.dtype, name=f"motion_modules_{i}"
+                mm = R(MotionModule)(
+                    self.motion_config, dtype=self.dtype,
+                    seq_axis=self.seq_axis, name=f"motion_modules_{i}"
                 )
                 x = fuse_motion_frames(
                     mm, x, motion_features[i] if self.fuse_motion else None,
-                    self.seq_axis,
                 )
             states.append(x)
         if self.add_downsample:
@@ -141,13 +160,15 @@ class DownBlock(nn.Module):
     num_layers: int = 2
     motion_config: Optional[MotionModuleConfig] = None
     seq_axis: Optional[str] = None
+    remat_inner: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, temb: jax.Array):
+        R = inner_remat(self.remat_inner)
         states = []
         for i in range(self.num_layers):
-            x = ResnetBlock(
+            x = R(ResnetBlock)(
                 self.out_channels,
                 groups=self.norm_groups,
                 eps=self.resnet_eps,
@@ -157,9 +178,10 @@ class DownBlock(nn.Module):
                 name=f"resnets_{i}",
             )(x, temb)
             if self.motion_config is not None:
-                x = MotionModule(
-                    self.motion_config, dtype=self.dtype, name=f"motion_modules_{i}"
-                )(x, None, self.seq_axis)
+                x = R(MotionModule)(
+                    self.motion_config, dtype=self.dtype,
+                    seq_axis=self.seq_axis, name=f"motion_modules_{i}"
+                )(x)
             states.append(x)
         if self.add_downsample:
             x = Downsample(self.out_channels, dtype=self.dtype, name="downsamplers_0")(x)
@@ -181,6 +203,7 @@ class MidBlock(nn.Module):
     cfg_split: bool = False
     fuse_motion: bool = True
     seq_axis: Optional[str] = None
+    remat_inner: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -195,8 +218,10 @@ class MidBlock(nn.Module):
         masks: Optional[Tuple[jax.Array, jax.Array, jax.Array]],
         motion_scale: Optional[jax.Array],
         uncond_mask: Optional[jax.Array],
+        ref_kv: Optional[Sequence] = None,
     ) -> jax.Array:
-        x = ResnetBlock(
+        R = inner_remat(self.remat_inner)
+        x = R(ResnetBlock)(
             self.channels,
             groups=self.norm_groups,
             eps=self.resnet_eps,
@@ -205,7 +230,7 @@ class MidBlock(nn.Module):
             dtype=self.dtype,
             name="resnets_0",
         )(x, temb)
-        x = SpatialTransformer(
+        x = R(SpatialTransformer)(
             self.heads,
             self.channels // self.heads,
             norm_num_groups=self.norm_groups,
@@ -213,9 +238,10 @@ class MidBlock(nn.Module):
             cfg_split=self.cfg_split,
             dtype=self.dtype,
             name="attentions_0",
-        )(x, ref_features[0], context, uncond_mask)
+        )(x, ref_features[0], context, uncond_mask,
+          ref_kv[0] if ref_kv is not None else None)
         if self.use_audio_module and audio_context is not None:
-            x = AudioTransformer(
+            x = R(AudioTransformer)(
                 self.heads,
                 (self.in_channels_audio // self.heads) * self.heads,
                 hierarchical=self.hierarchical_audio,
@@ -231,14 +257,14 @@ class MidBlock(nn.Module):
                 motion_scale=motion_scale,
             )
         if self.motion_config is not None:
-            mm = MotionModule(
-                self.motion_config, dtype=self.dtype, name="motion_modules_0"
+            mm = R(MotionModule)(
+                self.motion_config, dtype=self.dtype,
+                seq_axis=self.seq_axis, name="motion_modules_0"
             )
             x = fuse_motion_frames(
                 mm, x, motion_features[0] if self.fuse_motion else None,
-                self.seq_axis,
             )
-        x = ResnetBlock(
+        x = R(ResnetBlock)(
             self.channels,
             groups=self.norm_groups,
             eps=self.resnet_eps,
@@ -266,6 +292,7 @@ class CrossAttnUpBlock(nn.Module):
     cfg_split: bool = False
     fuse_motion: bool = False
     seq_axis: Optional[str] = None
+    remat_inner: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -281,11 +308,13 @@ class CrossAttnUpBlock(nn.Module):
         masks: Optional[Tuple[jax.Array, jax.Array, jax.Array]],
         motion_scale: Optional[jax.Array],
         uncond_mask: Optional[jax.Array],
+        ref_kv: Optional[Sequence] = None,
     ) -> jax.Array:
+        R = inner_remat(self.remat_inner)
         skips = list(skips)
         for i in range(self.num_layers):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResnetBlock(
+            x = R(ResnetBlock)(
                 self.out_channels,
                 groups=self.norm_groups,
                 eps=self.resnet_eps,
@@ -294,7 +323,7 @@ class CrossAttnUpBlock(nn.Module):
                 dtype=self.dtype,
                 name=f"resnets_{i}",
             )(x, temb)
-            x = SpatialTransformer(
+            x = R(SpatialTransformer)(
                 self.heads,
                 self.out_channels // self.heads,
                 norm_num_groups=self.norm_groups,
@@ -302,9 +331,10 @@ class CrossAttnUpBlock(nn.Module):
                 cfg_split=self.cfg_split,
                 dtype=self.dtype,
                 name=f"attentions_{i}",
-            )(x, ref_features[i], context, uncond_mask)
+            )(x, ref_features[i], context, uncond_mask,
+              ref_kv[i] if ref_kv is not None else None)
             if self.use_audio_module and audio_context is not None:
-                x = AudioTransformer(
+                x = R(AudioTransformer)(
                     self.heads,
                     (self.in_channels_audio // self.heads) * self.heads,
                     hierarchical=self.hierarchical_audio,
@@ -320,12 +350,12 @@ class CrossAttnUpBlock(nn.Module):
                     motion_scale=motion_scale,
                 )
             if self.motion_config is not None:
-                mm = MotionModule(
-                    self.motion_config, dtype=self.dtype, name=f"motion_modules_{i}"
+                mm = R(MotionModule)(
+                    self.motion_config, dtype=self.dtype,
+                    seq_axis=self.seq_axis, name=f"motion_modules_{i}"
                 )
                 x = fuse_motion_frames(
                     mm, x, motion_features[i] if self.fuse_motion else None,
-                    self.seq_axis,
                 )
         if self.add_upsample:
             x = Upsample(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
@@ -341,14 +371,16 @@ class UpBlock(nn.Module):
     num_layers: int = 3
     motion_config: Optional[MotionModuleConfig] = None
     seq_axis: Optional[str] = None
+    remat_inner: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, skips: Sequence[jax.Array], temb: jax.Array):
+        R = inner_remat(self.remat_inner)
         skips = list(skips)
         for i in range(self.num_layers):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResnetBlock(
+            x = R(ResnetBlock)(
                 self.out_channels,
                 groups=self.norm_groups,
                 eps=self.resnet_eps,
@@ -358,9 +390,10 @@ class UpBlock(nn.Module):
                 name=f"resnets_{i}",
             )(x, temb)
             if self.motion_config is not None:
-                x = MotionModule(
-                    self.motion_config, dtype=self.dtype, name=f"motion_modules_{i}"
-                )(x, None, self.seq_axis)
+                x = R(MotionModule)(
+                    self.motion_config, dtype=self.dtype,
+                    seq_axis=self.seq_axis, name=f"motion_modules_{i}"
+                )(x)
         if self.add_upsample:
             x = Upsample(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
         return x

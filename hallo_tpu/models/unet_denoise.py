@@ -37,6 +37,52 @@ from hallo_tpu.models.unet_blocks import (
 MaskPyramid = Tuple[Tuple[jax.Array, jax.Array, jax.Array], ...]
 
 
+def spatial_ref_kv(
+    params: Mapping[str, Any],
+    ref_features: Mapping[str, Sequence[jax.Array]],
+    dtype: Dtype = jnp.bfloat16,
+) -> Dict[str, Tuple[Tuple[jax.Array, jax.Array], ...]]:
+    """Project ReferenceNet features through each spatial attention's
+    to_k/to_v ONCE (per clip) instead of per-frame x per-denoise-step.
+
+    The spatial attention computes K/V over [self tokens, ref tokens]
+    (reference mutual_self_attention.py:264-284); the ref tokens are
+    step-invariant across the whole sampling loop, and to_k/to_v carry no
+    bias, so `to_k(concat([self, ref]))` row-equals
+    `concat([to_k(self), to_k(ref)])` — this hoists the invariant half out
+    of the loop (2 matmuls x ~16 frames x 40 steps -> 2 matmuls per site).
+
+    Returns a pytree mirroring `ref_features` ({key: ((k, v), ...)}), each
+    k/v of shape (B, Lref, inner) — feed it to DenoisingUNet's `ref_kv`.
+    `params` is the denoiser variable dict (or its "params" subtree).
+    """
+    p = params.get("params", params)
+    out: Dict[str, Tuple[Tuple[jax.Array, jax.Array], ...]] = {}
+    for key, feats in ref_features.items():
+        if key == "mid":
+            sites = [("mid_block", "attentions_0")]
+        else:
+            kind, idx = key.rsplit("_", 1)
+            sites = [
+                (f"{kind}_blocks_{idx}", f"attentions_{j}")
+                for j in range(len(feats))
+            ]
+        kvs = []
+        for feat, (blk, attn) in zip(feats, sites):
+            a = p[blk][attn]["blocks_0"]["attn1"]
+            wk = a["to_k"]["Dense_0"]["kernel"].astype(dtype)
+            wv = a["to_v"]["Dense_0"]["kernel"].astype(dtype)
+            x = feat.astype(dtype)
+            kvs.append(
+                (
+                    jnp.einsum("blc,cm->blm", x, wk),
+                    jnp.einsum("blc,cm->blm", x, wv),
+                )
+            )
+        out[key] = tuple(kvs)
+    return out
+
+
 def _hierarchical(cfg: UNetConfig, block_name: str, depth: int) -> bool:
     """Whether this audio site uses the 3-branch masked attention
     (reference attention.py:718-761)."""
@@ -66,6 +112,7 @@ class DenoisingUNet(nn.Module):
         train: bool = False,
         cfg_split: bool = False,
         seq_axis: Optional[str] = None,
+        ref_kv: Optional[Mapping[str, Sequence[Tuple[jax.Array, jax.Array]]]] = None,
     ) -> jax.Array:
         """Predict v / epsilon for a noisy latent video.
 
@@ -92,6 +139,10 @@ class DenoisingUNet(nn.Module):
             Frame-local inputs (sample, audio_context, face_cond, masks)
             carry the local frame count; ref/motion features and context
             are replicated.
+          ref_kv: pre-projected spatial-attention K/V over the ref tokens
+            from `spatial_ref_kv` (step-invariant — hoisted out of the
+            sampling loop by the pipeline); same key structure as
+            ref_features.
         """
         cfg = self.config
         b, f = sample.shape[0], sample.shape[1]
@@ -107,6 +158,9 @@ class DenoisingUNet(nn.Module):
             if motion_features is None:
                 return [None] * n
             return motion_features[key]
+
+        def rkv(key: str) -> Optional[Sequence[Tuple[jax.Array, jax.Array]]]:
+            return None if ref_kv is None else ref_kv[key]
 
         def fuse_at(site: str) -> bool:
             if motion_features is None or not cfg.use_motion_module:
@@ -178,6 +232,7 @@ class DenoisingUNet(nn.Module):
                     cfg_split=cfg_split,
                     fuse_motion=fuse_at("down"),
                     seq_axis=seq_axis,
+                    remat_inner=cfg.remat_inner,
                     dtype=self.dtype,
                     name=f"down_blocks_{i}",
                 )(
@@ -190,6 +245,7 @@ class DenoisingUNet(nn.Module):
                     mask_level(i),
                     motion_scale,
                     uncond_mask,
+                    rkv(f"down_{i}"),
                 )
             else:
                 x, states = _DownBlock(
@@ -201,6 +257,7 @@ class DenoisingUNet(nn.Module):
                     num_layers=cfg.layers_per_block,
                     motion_config=mm if use_mm else None,
                     seq_axis=seq_axis,
+                    remat_inner=cfg.remat_inner,
                     dtype=self.dtype,
                     name=f"down_blocks_{i}",
                 )(x, temb)
@@ -221,6 +278,7 @@ class DenoisingUNet(nn.Module):
             cfg_split=cfg_split,
             fuse_motion=fuse_at("mid"),
             seq_axis=seq_axis,
+            remat_inner=cfg.remat_inner,
             dtype=self.dtype,
             name="mid_block",
         )(
@@ -233,6 +291,7 @@ class DenoisingUNet(nn.Module):
             mask_level(3),
             motion_scale,
             uncond_mask,
+            rkv("mid"),
         )
 
         # --- up ---
@@ -262,6 +321,7 @@ class DenoisingUNet(nn.Module):
                     cfg_split=cfg_split,
                     fuse_motion=fuse_at("up"),
                     seq_axis=seq_axis,
+                    remat_inner=cfg.remat_inner,
                     dtype=self.dtype,
                     name=f"up_blocks_{i}",
                 )(
@@ -275,6 +335,7 @@ class DenoisingUNet(nn.Module):
                     mask_level(3 - i),
                     motion_scale,
                     uncond_mask,
+                    rkv(f"up_{i}"),
                 )
             else:
                 x = _UpBlock(
@@ -286,6 +347,7 @@ class DenoisingUNet(nn.Module):
                     num_layers=n_layers_up,
                     motion_config=mm if use_mm else None,
                     seq_axis=seq_axis,
+                    remat_inner=cfg.remat_inner,
                     dtype=self.dtype,
                     name=f"up_blocks_{i}",
                 )(x, block_skips, temb)

@@ -18,6 +18,7 @@ scripts/inference.py:285-343:
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
@@ -36,7 +37,7 @@ from hallo_tpu.config import (
 from hallo_tpu.diffusion.sampler import make_sampler
 from hallo_tpu.models.face_locator import FaceLocator
 from hallo_tpu.models.projections import AudioProj, ImageProj
-from hallo_tpu.models.unet_denoise import DenoisingUNet
+from hallo_tpu.models.unet_denoise import DenoisingUNet, spatial_ref_kv
 from hallo_tpu.models.unet_ref import ReferenceNet
 from hallo_tpu.models.vae import AutoencoderKL
 
@@ -313,6 +314,18 @@ class FaceAnimatePipeline:
         ref_feats = jax.tree.map(lambda x: x[:, 0], split)
         motion_feats = jax.tree.map(lambda x: x[:, 1:], split)
 
+        # Hoist the step-invariant spatial-attention ref K/V projections out
+        # of the denoise loop: ~2 matmuls/site/clip instead of per-frame x
+        # per-step (exact math — see unet_denoise.spatial_ref_kv). Escape
+        # hatch HALLO_HOIST_REF_KV=0 for A/B measurement.
+        ref_kv = (
+            spatial_ref_kv(
+                p["denoising_net"], ref_feats, self.models.denoising_net.dtype
+            )
+            if os.environ.get("HALLO_HOIST_REF_KV", "1") != "0"
+            else None
+        )
+
         # --- face locator conditioning (uncond half zeroed) ---
         mask_video = jnp.repeat(face_region[:, None], f, axis=1)  # (B, F, H, W, 3)
         face_cond = m.face_locator.apply(p["face_locator"], mask_video)
@@ -341,7 +354,7 @@ class FaceAnimatePipeline:
         # of bias-masked attention over the ref-KV concat — same math, half
         # the uncond KV work) ---
         def denoise_halves(params_, t, lat, ctx, rf, mf, audio_t, fc, mk,
-                           ms, seq_ax=None):
+                           ms, rkv=None, seq_ax=None):
             model_in = jnp.tile(lat, (2, 1, 1, 1, 1))
             out = m.denoising_net.apply(
                 params_,
@@ -357,20 +370,21 @@ class FaceAnimatePipeline:
                 None,
                 cfg_split=True,
                 seq_axis=seq_ax,
+                ref_kv=rkv,
             )
             return out[:b], out[b:]
 
         def denoise_step(params_, t, lat, ctx, rf, mf, audio_t, fc, mk,
-                         ms, seq_ax=None):
+                         ms, rkv=None, seq_ax=None):
             un, co = denoise_halves(
-                params_, t, lat, ctx, rf, mf, audio_t, fc, mk, ms, seq_ax
+                params_, t, lat, ctx, rf, mf, audio_t, fc, mk, ms, rkv, seq_ax
             )
             if self.guidance_scale > 1.0:
                 return un + self.guidance_scale * (co - un)
             return co
 
         def denoise_cond(params_, t, lat, ctx, rf, mf, audio_t, fc, mk,
-                         ms, seq_ax=None):
+                         ms, rkv=None, seq_ax=None):
             # Conditional half only (CFG-cache steps): every conditioning
             # tensor arrives pre-sliced to the cond half; cfg_split=False +
             # uncond_mask=None means all samples take the conditional path
@@ -389,6 +403,7 @@ class FaceAnimatePipeline:
                 None,
                 cfg_split=False,
                 seq_axis=seq_ax,
+                ref_kv=rkv,
             )
 
         use_cfg_cache = (
@@ -401,6 +416,7 @@ class FaceAnimatePipeline:
             )
             audio_tokens_c, face_cond_c = audio_tokens[b:], face_cond[b:]
             masks_c = _half(masks_cfg)
+            ref_kv_c = _half(ref_kv)
 
         if self.mesh is not None:
             # Clip parallelism: frame-axis tensors shard over the seq mesh
@@ -416,7 +432,7 @@ class FaceAnimatePipeline:
             sharded_halves = shard_map(
                 lambda pr, t, lat, au, fc, mk: denoise_halves(
                     pr, t, lat, context, ref_feats, motion_feats, au, fc, mk,
-                    motion_scale, s,
+                    motion_scale, ref_kv, s,
                 ),
                 mesh=self.mesh,
                 in_specs=(P(), P(), P(None, s), P(None, s), P(None, s), P(None, s)),
@@ -432,7 +448,7 @@ class FaceAnimatePipeline:
                 sharded_cond = shard_map(
                     lambda pr, t, lat, au, fc, mk: denoise_cond(
                         pr, t, lat, context_c, ref_feats_c, motion_feats_c,
-                        au, fc, mk, motion_scale, s,
+                        au, fc, mk, motion_scale, ref_kv_c, s,
                     ),
                     mesh=self.mesh,
                     in_specs=(
@@ -452,7 +468,7 @@ class FaceAnimatePipeline:
             def run_halves(t, lat):
                 return denoise_halves(
                     p["denoising_net"], t, lat, context, ref_feats, motion_feats,
-                    audio_tokens, face_cond, masks_cfg, motion_scale,
+                    audio_tokens, face_cond, masks_cfg, motion_scale, ref_kv,
                 )
 
             if use_cfg_cache:
@@ -461,7 +477,7 @@ class FaceAnimatePipeline:
                     return denoise_cond(
                         p["denoising_net"], t, lat, context_c, ref_feats_c,
                         motion_feats_c, audio_tokens_c, face_cond_c, masks_c,
-                        motion_scale,
+                        motion_scale, ref_kv_c,
                     )
 
         def combine(un, co):

@@ -7,6 +7,7 @@ denoise -> decode with the fewest parts (SURVEY.md §7.2 step 5)."""
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -15,6 +16,7 @@ import numpy as np
 
 from hallo_tpu.config import SchedulerConfig
 from hallo_tpu.diffusion.sampler import make_sampler
+from hallo_tpu.models.unet_denoise import spatial_ref_kv
 from hallo_tpu.pipelines.face_animate import HalloModels
 
 
@@ -56,6 +58,13 @@ class StaticPipeline:
             params["reference_net"], ref_latents, jnp.zeros(()), context
         )
         ref_feats = feats  # single ref frame: bank is the whole batch
+        # Step-invariant ref K/V hoisted out of the denoise loop (exact math;
+        # see unet_denoise.spatial_ref_kv / tests/test_ref_kv_hoist.py).
+        ref_kv = (
+            spatial_ref_kv(params["denoising_net"], ref_feats, m.denoising_net.dtype)
+            if os.environ.get("HALLO_HOIST_REF_KV", "1") != "0"
+            else None
+        )
 
         mask_video = face_region[:, None]
         face_cond = m.face_locator.apply(params["face_locator"], mask_video)
@@ -81,6 +90,7 @@ class StaticPipeline:
                 None,
                 None,
                 uncond_mask,
+                ref_kv=ref_kv,
             )
             un, co = out[:b], out[b:]
             guided = un + self.guidance_scale * (co - un)

@@ -42,15 +42,19 @@ def main():
     m = 2
     b = int(os.environ.get("HALLO_TRAIN_BENCH_BATCH", "1"))
     remat = os.environ.get("HALLO_TRAIN_BENCH_REMAT", "1") == "1"
+    # Nested per-layer remat: required to fit 512²x14f bs1 in 16 GB HBM
+    # (block-level remat alone measured 22.16 G needed; the replay of one
+    # block holds all its intra-layer temps at once).
+    remat_inner = os.environ.get("HALLO_TRAIN_BENCH_REMAT_INNER", "1") == "1"
     repeats = int(os.environ.get("HALLO_TRAIN_BENCH_REPEATS", "3"))
 
     mixed = os.environ.get("HALLO_TRAIN_BENCH_MIXED", "1") == "1"
-    log(f"building full-width models {h}x{w} f={f} b={b} remat={remat} bf16 "
-        f"mixed_frozen={mixed}")
+    log(f"building full-width models {h}x{w} f={f} b={b} remat={remat} "
+        f"inner={remat_inner} bf16 mixed_frozen={mixed}")
     models = build_models(
         "full", dtype=jnp.bfloat16, init_key=jax.random.PRNGKey(0),
         height=h, width=w, clip_length=f, n_motion_frames=m,
-        unet_overrides=dict(remat=remat),
+        unet_overrides=dict(remat=remat, remat_inner=remat and remat_inner),
     )
     labels = label_params(models.params, stage2_trainable)
     if mixed:
@@ -127,6 +131,7 @@ def main():
         "value": round(best, 4),
         "unit": "sec/step",
         "remat": remat,
+        "remat_inner": remat_inner,
         "dtype": "bf16",
         "mixed_frozen_bf16": mixed,
         "adam8bit": adam8,

@@ -67,18 +67,24 @@ def train_stage1_process(cfg) -> None:
     mp = str(getattr(solver, "mixed_precision", "") or psettings["mixed_precision"])
     compute_dtype = jnp.bfloat16 if mp.lower() in ("bf16", "fp16", "bfloat16") else jnp.float32
     grad_ckpt = bool(getattr(solver, "gradient_checkpointing", False))
+    # Nested per-layer remat (YAML: solver.gradient_checkpointing_inner):
+    # needed to fit full-width steps in 16 GB HBM (see UNetConfig.remat_inner).
+    remat_inner = grad_ckpt and bool(
+        getattr(solver, "gradient_checkpointing_inner", True)
+    )
 
     width = height = int(cfg.data.train_width)
     unet_kwargs = cfglib.to_container(cfg.unet_additional_kwargs) if "unet_additional_kwargs" in cfg else {}
     # stage 1 runs the denoiser in 2D mode: no motion/audio modules
     den_cfg = unet_config_from_yaml_kwargs(
         unet_kwargs, use_motion_module=False, use_audio_module=False,
-        remat=grad_ckpt,
+        remat=grad_ckpt, remat_inner=remat_inner,
     )
     ref_cfg = unet_config_from_yaml_kwargs(
         unet_kwargs,
         use_motion_module=False, use_audio_module=False,
         use_inflated_groupnorm=False, remat=grad_ckpt,
+        remat_inner=remat_inner,
     )
     aux = {}
     if str(getattr(cfg, "aux_scale", "")) == "tiny":  # tiny integration tests

@@ -61,12 +61,20 @@ def train_stage2_process(cfg) -> None:
     mp = str(getattr(solver, "mixed_precision", "") or psettings["mixed_precision"])
     compute_dtype = jnp.bfloat16 if mp.lower() in ("bf16", "fp16", "bfloat16") else jnp.float32
     grad_ckpt = bool(getattr(solver, "gradient_checkpointing", False))
+    # Nested per-layer remat (YAML: solver.gradient_checkpointing_inner):
+    # needed to fit the full-width 512² step in 16 GB HBM (measured 22.16 G
+    # with block-level remat alone — see UNetConfig.remat_inner).
+    remat_inner = grad_ckpt and bool(
+        getattr(solver, "gradient_checkpointing_inner", True)
+    )
 
     width = height = int(cfg.data.train_width)
     f = int(cfg.data.n_sample_frames)
     m = int(cfg.data.n_motion_frames)
     unet_kwargs = cfglib.to_container(cfg.unet_additional_kwargs)
-    den_cfg = unet_config_from_yaml_kwargs(unet_kwargs, remat=grad_ckpt)
+    den_cfg = unet_config_from_yaml_kwargs(
+        unet_kwargs, remat=grad_ckpt, remat_inner=remat_inner
+    )
     ref_cfg = unet_config_from_yaml_kwargs(
         unet_kwargs,
         use_motion_module=False, use_audio_module=False,

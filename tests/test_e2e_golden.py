@@ -19,15 +19,18 @@ import pytest
 from hallo_tpu.config import SchedulerConfig
 from hallo_tpu.pipelines.face_animate import FaceAnimatePipeline
 
-from tests.test_pipeline import _init_models
-
 GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden", "e2e_tiny.npz")
 
 
 @pytest.mark.slow
 def test_e2e_pipeline_matches_golden():
+    from hallo_tpu.utils.factory import build_models
+
     h, f, m = 64, 4, 2
-    models = _init_models(jax.random.PRNGKey(0), h=h, f=f, m=m)
+    models = build_models(
+        "tiny", init_key=jax.random.PRNGKey(0), height=h, width=h,
+        clip_length=f, n_motion_frames=m,
+    )
     pipe = FaceAnimatePipeline(
         models,
         SchedulerConfig(),
