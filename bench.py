@@ -183,7 +183,7 @@ def main() -> None:
         }
 
     result = {
-        "metric": f"frames_per_sec_per_chip_{height}x{width}_{steps}step_ddim",
+        "metric": f"frames_per_sec_per_chip_{height}x{width}_{steps}step_{sampler}",
         "value": round(fps, 4),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / A100_BASELINE_FPS_ESTIMATE, 3),

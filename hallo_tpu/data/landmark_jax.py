@@ -132,7 +132,14 @@ class JaxFaceLandmarker:
         lm = self._pick_landmarks(outs)
         if lm is None:
             return None
-        pts = lm[:, :2] * (side / self._size)
+        pts = lm[:, :2]
+        # Exporter variants emit either crop-pixel coords (mediapipe facemesh
+        # convention, range ~[0, size)) or normalized [0, 1] coords. A real
+        # face spans most of the crop, so a max coord <= ~2 can only be the
+        # normalized variant — rescale instead of collapsing to the origin.
+        if np.abs(pts).max() <= 2.0:
+            pts = pts * float(self._size)
+        pts = pts * (side / self._size)
         pts[:, 0] += ox
         pts[:, 1] += oy
         return pts.astype(np.float32)

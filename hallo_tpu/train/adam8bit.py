@@ -93,8 +93,13 @@ def _dequantize_log(qs: _Q, shape, block: int) -> jax.Array:
     padded = jnp.pad(flat, (0, pad)).reshape(-1, block)
     logx = (padded + 128.0) / 255.0 * _LOG_SPAN + (hi[:, None] - _LOG_SPAN)
     x = jnp.exp(logx)
-    # all-zero blocks (hi == log(_TINY)) must stay exactly zero
-    x = jnp.where(hi[:, None] <= jnp.log(_TINY) + 1e-3, 0.0, x)
+    # Entries at the span floor (q == -128) dequantize to exp(hi - _LOG_SPAN)
+    # ≈ 1.5e-9 × block max — which can exceed eps=1e-8 through rsqrt and damp
+    # that coordinate's next update. A floor entry is either a true zero or a
+    # value <= 1/10^8.8 of its block max (indistinguishable at 8 bits), so
+    # clamp it to exactly 0 per entry; all-zero blocks (hi == log(_TINY))
+    # fall out of the same rule.
+    x = jnp.where(padded <= -127.5, 0.0, x)
     return x.reshape(-1)[: flat.size].reshape(shape)
 
 

@@ -40,7 +40,19 @@ def main() -> None:
     skip = []
     if lpips_params is None:
         skip.append(lpips_status)
-    for path in ("pretrained_models", args.image, args.audio):
+    # inference_process hard-exits (SystemExit) on any missing weight when
+    # --allow-partial is unset, so gate on the specific files it needs, not
+    # just the directory (a partially populated pretrained_models/ must still
+    # produce the documented skip JSON + exit 0).
+    required = (
+        "pretrained_models/hallo/net.pth",
+        "pretrained_models/wav2vec/wav2vec2-base-960h",
+        "pretrained_models/sd-vae-ft-mse",
+        "pretrained_models/stable-diffusion-v1-5",
+        args.image,
+        args.audio,
+    )
+    for path in required:
         if not os.path.exists(path):
             skip.append(f"missing {path}")
     if skip:
@@ -68,8 +80,15 @@ def main() -> None:
         )
         return read_frames(inference_process(ns))
 
-    exact = np.stack(render("exact", None, "exact.mp4"))
-    fast = np.stack(render("fast", args.steps_fast, "fast.mp4"))
+    try:
+        exact = np.stack(render("exact", None, "exact.mp4"))
+        fast = np.stack(render("fast", args.steps_fast, "fast.mp4"))
+    except SystemExit as e:  # a weight the preflight missed — skip, not crash
+        print(json.dumps({
+            "metric": "lpips_exact_vs_fast_samples",
+            "skipped": f"inference_process exited: {e}",
+        }))
+        return
     n = min(len(exact), len(fast))
     exact, fast = exact[:n], fast[:n]
 

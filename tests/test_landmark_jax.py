@@ -83,6 +83,27 @@ def test_landmarker_offset_bbox(mesh_onnx):
     np.testing.assert_allclose(pts, want, atol=1e-2)
 
 
+def test_normalized_output_rescaled(tmp_path):
+    """Exports emitting normalized [0,1] landmark coords are detected by
+    the output-range heuristic and rescaled to crop pixels (ADVICE r3)."""
+    lm = synthetic_landmarks()
+    lm[:, :2] /= 192.0  # normalized-coordinate exporter variant
+    nodes = [
+        _node("ReduceMean", ["x"], ["mu"], axes=[1, 2, 3], keepdims=0),
+        _node("Mul", ["mu", "zero"], ["z"]),
+        _node("Add", ["z", "lm"], ["landmarks"]),
+    ]
+    inits = {"zero": np.zeros((1,), np.float32),
+             "lm": lm.reshape(1, -1)}
+    path = str(tmp_path / "mesh_norm.onnx")
+    save_onnx(path, nodes, inits, {"x": [1, 192, 192, 3]},
+              {"landmarks": [1, 1404]})
+    lmk = JaxFaceLandmarker(path)
+    img = np.zeros((192, 192, 3), np.uint8)
+    pts = lmk(img, bbox=(0, 0, 192, 192))
+    np.testing.assert_allclose(pts, synthetic_landmarks()[:, :2], atol=1e-2)
+
+
 def test_nchw_signed_input(tmp_path):
     """NCHW layout + [-1,1] range exports are auto-detected/selectable."""
     lm = synthetic_landmarks().reshape(1, -1)

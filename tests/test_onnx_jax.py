@@ -321,7 +321,7 @@ def test_lip_box_from_scrfd_kps(monkeypatch):
         ),
     )
     monkeypatch.setattr(fa, "detect", lambda img: res)
-    monkeypatch.setattr(fa, "_landmarks", lambda img: None)
+    monkeypatch.setattr(fa, "_landmarks", lambda img, bbox=None: None)
     face_mask, lip_mask, _ = fa.face_and_lip_masks(
         np.zeros((256, 256, 3), np.uint8)
     )
