@@ -73,6 +73,13 @@ class MotionModule(nn.Module):
     # Clip-parallel mesh axis. An ATTRIBUTE (not a call arg) so the call
     # signature stays all-arrays — nn.remat-wrappable without static_argnums.
     seq_axis: Optional[str] = None
+    # Sub-layer rematerialization: wrap each temporal attention and the FF
+    # in their own remat so a replay of THIS module holds one sub-layer's
+    # temporaries instead of all of them. At 512²x16f the level-0 motion FF
+    # GEGLU alone is a 320 MB bf16 temp and each attention's backward adds
+    # three q/k/v copies — measured as the top HBM temps of the r4 stage-2
+    # OOM (17.48 G vs 15.75 G).
+    remat_inner: bool = False
 
     @nn.compact
     def __call__(
@@ -124,11 +131,12 @@ class MotionModule(nn.Module):
         if motion_feats is not None:
             hs = jnp.concatenate([mf, hs], axis=1)
 
+        R = nn.remat if self.remat_inner else (lambda cls: cls)
         for i in range(cfg.num_transformer_block):
             for j, block_type in enumerate(cfg.attention_block_types):
                 assert block_type == "Temporal_Self", block_type
                 normed = LayerNorm(dtype=self.dtype, name=f"blocks_{i}_norm_{j}")(hs)
-                hs = hs + TemporalAttention(
+                hs = hs + R(TemporalAttention)(
                     heads,
                     head_dim,
                     max_len=cfg.temporal_position_encoding_max_len,
@@ -136,7 +144,9 @@ class MotionModule(nn.Module):
                     dtype=self.dtype,
                     name=f"blocks_{i}_attn_{j}",
                 )(normed)
-            hs = hs + FeedForward(hs.shape[-1], dtype=self.dtype, name=f"blocks_{i}_ff")(
+            hs = hs + R(FeedForward)(
+                hs.shape[-1], dtype=self.dtype, name=f"blocks_{i}_ff"
+            )(
                 LayerNorm(dtype=self.dtype, name=f"blocks_{i}_ff_norm")(hs)
             )
 

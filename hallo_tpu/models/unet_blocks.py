@@ -138,7 +138,7 @@ class CrossAttnDownBlock(nn.Module):
                 )
             if self.motion_config is not None:
                 mm = R(MotionModule)(
-                    self.motion_config, dtype=self.dtype,
+                    self.motion_config, dtype=self.dtype, remat_inner=self.remat_inner,
                     seq_axis=self.seq_axis, name=f"motion_modules_{i}"
                 )
                 x = fuse_motion_frames(
@@ -179,7 +179,7 @@ class DownBlock(nn.Module):
             )(x, temb)
             if self.motion_config is not None:
                 x = R(MotionModule)(
-                    self.motion_config, dtype=self.dtype,
+                    self.motion_config, dtype=self.dtype, remat_inner=self.remat_inner,
                     seq_axis=self.seq_axis, name=f"motion_modules_{i}"
                 )(x)
             states.append(x)
@@ -258,7 +258,7 @@ class MidBlock(nn.Module):
             )
         if self.motion_config is not None:
             mm = R(MotionModule)(
-                self.motion_config, dtype=self.dtype,
+                self.motion_config, dtype=self.dtype, remat_inner=self.remat_inner,
                 seq_axis=self.seq_axis, name="motion_modules_0"
             )
             x = fuse_motion_frames(
@@ -351,7 +351,7 @@ class CrossAttnUpBlock(nn.Module):
                 )
             if self.motion_config is not None:
                 mm = R(MotionModule)(
-                    self.motion_config, dtype=self.dtype,
+                    self.motion_config, dtype=self.dtype, remat_inner=self.remat_inner,
                     seq_axis=self.seq_axis, name=f"motion_modules_{i}"
                 )
                 x = fuse_motion_frames(
@@ -391,7 +391,7 @@ class UpBlock(nn.Module):
             )(x, temb)
             if self.motion_config is not None:
                 x = R(MotionModule)(
-                    self.motion_config, dtype=self.dtype,
+                    self.motion_config, dtype=self.dtype, remat_inner=self.remat_inner,
                     seq_axis=self.seq_axis, name=f"motion_modules_{i}"
                 )(x)
         if self.add_upsample:
