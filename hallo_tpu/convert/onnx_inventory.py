@@ -42,8 +42,25 @@ KIM_VOCAL_2 = frozenset({
     "Shape", "Unsqueeze", "Squeeze", "Gather", "Cast",
 })
 
+# MediaPipe FaceMesh(-with-attention) ONNX conversion — the PINNED
+# production landmark model for hallo_tpu/data/landmark_jax.py (the
+# reference uses the same network via mediapipe's .task runtime,
+# util.py:351-404). Recommended artifact: PINTO model zoo
+# `030_FaceMesh/face_landmark_Nx3x192x192.onnx` (1x3x192x192 float input,
+# 1404 = 468*3 landmark output in crop pixels) — see README "Dense
+# landmarks". Op set per public Netron inspection of that conversion
+# family (MobileNet-style backbone with PReLU, landmark + score heads);
+# superset-safe.
+FACE_MESH = frozenset({
+    "Conv", "PRelu", "Relu", "Sigmoid", "Add", "Mul", "Sub", "Div", "Pad",
+    "MaxPool", "AveragePool", "GlobalAveragePool", "Reshape", "Transpose",
+    "Concat", "Slice", "Squeeze", "Unsqueeze", "Shape", "Gather",
+    "Identity", "Constant", "Gemm", "MatMul", "Flatten", "Split",
+})
+
 KNOWN_MODEL_OPS = {
     "scrfd_10g_bnkps": SCRFD_10G_BNKPS,
     "glintr100": GLINTR100,
     "Kim_Vocal_2": KIM_VOCAL_2,
+    "face_landmark": FACE_MESH,
 }

@@ -376,6 +376,33 @@ class OnnxExecutor:
             sl[ax] = slice(st, en, sp)
         return x[tuple(sl)]
 
+    def _op_pad(self, xp, a, x, pads=None, value=None, axes=None):
+        """Pad: opset<11 attribute form and opset>=11 input form. ONNX pads
+        are [begin_0..begin_{r-1}, end_0..end_{r-1}] over the padded axes
+        (all axes when `axes` is absent)."""
+        mode = a.get("mode", b"constant")
+        mode = mode.decode() if isinstance(mode, bytes) else str(mode)
+        pads = a.get("pads", pads)
+        pads = [int(v) for v in np.asarray(pads).reshape(-1)]
+        if value is None:
+            value = float(a.get("value", 0.0))
+        else:
+            value = float(np.asarray(value).reshape(()))
+        if axes is None:
+            idx = list(range(x.ndim))
+        else:
+            idx = [int(v) % x.ndim for v in np.asarray(axes).reshape(-1)]
+        n = len(idx)
+        width = [(0, 0)] * x.ndim
+        for k, ax in enumerate(idx):
+            width[ax] = (pads[k], pads[n + k])
+        if mode == "constant":
+            return xp.pad(x, width, constant_values=value)
+        jmode = {"reflect": "reflect", "edge": "edge", "wrap": "wrap"}.get(mode)
+        if jmode is None:
+            raise NotImplementedError(f"Pad mode {mode!r}")
+        return xp.pad(x, width, mode=jmode)
+
     def _op_split(self, xp, a, x, split=None):
         axis = int(a.get("axis", 0))
         split = a.get("split", split)

@@ -227,11 +227,14 @@ class AudioTransformerBlock(nn.Module):
 
         normed = LayerNorm(dtype=self.dtype, name="norm2")(x)
         # cfg_split inference fast path: the CFG-uncond half's audio tokens
-        # are all-zero (face_animate.py:377-378), so to_v(0) = 0 makes every
-        # audio cross-attention output exactly 0 — only the trained BIAS of
-        # the zero-init 1x1 convs (or of attn2's to_out) survives. Run the
-        # branches on the cond half only and add the bias term to the uncond
-        # half; numerically identical to the full computation.
+        # are all-zero (face_animate.py:377-378), so softmax(q k^T) @ to_v(0)
+        # = 0 and each branch's attention output collapses to to_out's BIAS
+        # bo broadcast over tokens. The full uncond computation is therefore
+        # scale * zero_conv(mask * bo) = scale * (mask ⊗ (W_zc @ bo) + b_zc)
+        # per token — recovered exactly from two dummy-token evaluations
+        # (zero_conv(bo) and zero_conv(0)) without running the uncond
+        # attention. Pinned against the full path (with nonzero to_out
+        # biases) by tests/test_pipeline_torch_oracle.py.
         half = normed.shape[0] // 2
         if self.cfg_split:
             normed_c, audio_c = normed[half:], audio_context[half:]
@@ -269,7 +272,20 @@ class AudioTransformerBlock(nn.Module):
                 h = scale_i * zero_conv(h)
                 acc_c = h if acc_c is None else acc_c + h
                 if self.cfg_split:
-                    bias_u = zero_conv(jnp.zeros((half, 1, c), h.dtype))
+                    da = audio_context.shape[-1]
+                    # bo = attn to_out bias (attention of a zero query over
+                    # zero audio tokens); weights shared by module name.
+                    bo = attn(
+                        jnp.zeros((1, 1, c), h.dtype),
+                        jnp.zeros((1, 1, da), h.dtype),
+                    )
+                    zc_bo = zero_conv(bo)  # (1, 1, c): W @ bo + b
+                    zc_0 = zero_conv(jnp.zeros((1, 1, c), h.dtype))  # b
+                    if mask is not None:
+                        m_u = mask[:half][:, :, None].astype(h.dtype)
+                        bias_u = m_u * (zc_bo - zc_0) + zc_0
+                    else:
+                        bias_u = zc_bo
                     bias_u = scale_i * bias_u
                     acc_u = bias_u if acc_u is None else acc_u + bias_u
             if self.cfg_split:

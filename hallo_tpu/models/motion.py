@@ -144,8 +144,16 @@ class MotionModule(nn.Module):
                     dtype=self.dtype,
                     name=f"blocks_{i}_attn_{j}",
                 )(normed)
+            # Under remat_inner also CHUNK the FF over sites (lax.map): the
+            # rematted replay of one chunk then bounds the GEGLU backward
+            # temps at 1/chunks of the full site axis (the r4b OOM's top-5
+            # temps were this FF's backward at down_blocks_0, ~960 MB).
+            n_ff_chunks = (
+                4 if self.remat_inner and hs.shape[-2] % 4 == 0 else 1
+            )
             hs = hs + R(FeedForward)(
-                hs.shape[-1], dtype=self.dtype, name=f"blocks_{i}_ff"
+                hs.shape[-1], dtype=self.dtype, chunks=n_ff_chunks,
+                name=f"blocks_{i}_ff",
             )(
                 LayerNorm(dtype=self.dtype, name=f"blocks_{i}_ff_norm")(hs)
             )

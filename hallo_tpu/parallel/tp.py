@@ -17,11 +17,13 @@ A FeedForward pair (C -> 4C -> C) therefore gets column- then row-parallel
 with exactly one all-reduce, and qkv/out projections pair the same way —
 without any per-module wiring. Everything else stays replicated.
 
-Used by the trainers on the GSPMD (non-shard_map) path when
-configs/parallel.yaml `mesh.model > 1`; composing TP with the shard_map
-clip-parallel path (seq > 1) is not supported — params inside shard_map
-are explicitly replicated there. Numerics pinned by
-tests/test_tensor_parallel.py on a virtual CPU mesh.
+Used by the trainers when configs/parallel.yaml `mesh.model > 1`. Composes
+with the shard_map clip-parallel path (seq > 1): the train step's shard_map
+is manual over ("data", "seq") only, leaving "model" an AUTO axis so GSPMD
+keeps partitioning the TP-sharded matmuls inside the body
+(train/step.py value_and_grad). Numerics pinned by
+tests/test_tensor_parallel.py; the combined (data, seq, model) step runs in
+__graft_entry__.dryrun_multichip.
 """
 
 from __future__ import annotations

@@ -40,6 +40,12 @@ import optax
 BLOCK = 256
 
 
+class _LeafOut(NamedTuple):
+    upd: jax.Array
+    mu: "object"
+    nu: "object"
+
+
 class _Q(NamedTuple):
     q: jax.Array       # int8, original shape (or f32 passthrough)
     scales: jax.Array  # f32 (n_blocks,) (or () passthrough)
@@ -135,35 +141,112 @@ def scale_by_adam_8bit(
             ),
         )
 
+    # Per-chunk element budget for the fused update below. 2^21 f32 = 8 MB
+    # per dequantized temp; a 1280x10240 kernel (13.1M elems) otherwise
+    # holds ~5 x 52 MB of f32 temps at once PER LEAF, and XLA interleaves
+    # several leaves' updates with the backward — measured as ~780 MB of
+    # anonymous f32 copies in the r4 stage-2 OOM dumps.
+    CHUNK_ELEMS = 2**21
+
     def update_fn(updates, state, params=None):
         del params
         count = optax.safe_int32_increment(state.count)
-
-        def moment(g, qs, decay, order, deq):
-            m = deq(qs, g.shape, block)
-            m = decay * m + (1 - decay) * (g.astype(jnp.float32) ** order)
-            return m
-
-        mu = jax.tree.map(
-            lambda g, qs: moment(g, qs, b1, 1, _dequantize), updates, state.mu,
-            is_leaf=lambda x: isinstance(x, _Q),
-        )
-        nu = jax.tree.map(
-            lambda g, qs: moment(g, qs, b2, 2, _dequantize_log), updates,
-            state.nu,
-            is_leaf=lambda x: isinstance(x, _Q),
-        )
         bc1 = 1 - b1 ** count.astype(jnp.float32)
         bc2 = 1 - b2 ** count.astype(jnp.float32)
-        new_updates = jax.tree.map(
-            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu, nu
+
+        def rows_of(x, rows, fill):
+            """Padded (rows, block) f32/int8 view of a flat tensor."""
+            flat = x.reshape(-1)
+            pad = rows * block - flat.size
+            return jnp.pad(flat, (0, pad), constant_values=fill).reshape(
+                rows, block
+            )
+
+        def chunk_body(args):
+            """One chunk of quant-block rows: dequant -> moment update ->
+            Adam direction -> requant. All temps are chunk-sized."""
+            g_r, mq_r, msc_r, nq_r, nhi_r = args
+            m = mq_r.astype(jnp.float32) * msc_r[:, None]
+            m = b1 * m + (1 - b1) * g_r
+            logx = (nq_r.astype(jnp.float32) + 128.0) / 255.0 * _LOG_SPAN + (
+                nhi_r[:, None] - _LOG_SPAN
+            )
+            v = jnp.where(nq_r.astype(jnp.float32) <= -127.5, 0.0, jnp.exp(logx))
+            v = b2 * v + (1 - b2) * g_r**2
+            upd = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+            # requant m (linear absmax)
+            absmax = jnp.max(jnp.abs(m), axis=1)
+            msc = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+            mq = jnp.clip(jnp.round(m / msc[:, None]), -127, 127).astype(jnp.int8)
+            # requant v (log space)
+            logv = jnp.log(jnp.maximum(v, _TINY))
+            hi = jnp.max(logv, axis=1)
+            rel = (logv - (hi[:, None] - _LOG_SPAN)) / _LOG_SPAN
+            nq = jnp.clip(jnp.round(rel * 255.0) - 128.0, -128, 127).astype(
+                jnp.int8
+            )
+            return upd, mq, msc, nq, hi
+
+        def leaf(g, mu_q, nu_q):
+            g32 = g.astype(jnp.float32)
+            if mu_q.q.dtype != jnp.int8:  # fp32 passthrough leaf
+                m = b1 * mu_q.q + (1 - b1) * g32
+                v = b2 * nu_q.q + (1 - b2) * g32**2
+                upd = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+                return _LeafOut(upd, _Q(m, mu_q.scales), _Q(v, nu_q.scales))
+            shape = g.shape
+            rows = -(-g.size // block)
+            chunk_rows = max(1, CHUNK_ELEMS // block)
+            n_chunks = -(-rows // chunk_rows)
+            rows_p = n_chunks * chunk_rows
+
+            def crop_rows(x, fill=0):
+                r = rows_of(x, rows, fill)
+                return jnp.pad(r, ((0, rows_p - rows), (0, 0)),
+                               constant_values=fill)
+
+            def crop_scales(s, fill):
+                return jnp.pad(s, (0, rows_p - rows), constant_values=fill)
+
+            operands = (
+                crop_rows(g32),
+                crop_rows(mu_q.q),
+                crop_scales(mu_q.scales, 1.0),
+                crop_rows(nu_q.q, fill=-128),
+                crop_scales(nu_q.scales, 0.0),
+            )
+            if n_chunks == 1:
+                upd, mq, msc, nq, nhi = chunk_body(operands)
+            else:
+                chunked = tuple(
+                    o.reshape((n_chunks, chunk_rows) + o.shape[1:])
+                    for o in operands
+                )
+                upd, mq, msc, nq, nhi = jax.lax.map(chunk_body, chunked)
+                upd = upd.reshape(rows_p, block)
+                mq = mq.reshape(rows_p, block)
+                nq = nq.reshape(rows_p, block)
+                msc = msc.reshape(rows_p)
+                nhi = nhi.reshape(rows_p)
+
+            def unflat(r):
+                return r[:rows].reshape(-1)[: g.size].reshape(shape)
+
+            return _LeafOut(
+                unflat(upd),
+                _Q(unflat(mq), msc[:rows]),
+                _Q(unflat(nq), nhi[:rows]),
+            )
+
+        is_q = lambda x: isinstance(x, _Q)  # noqa: E731
+        out = jax.tree.map(leaf, updates, state.mu, state.nu, is_leaf=is_q)
+        three = lambda i: jax.tree.map(  # noqa: E731
+            lambda t: t[i], out, is_leaf=lambda x: isinstance(x, _LeafOut)
         )
-        new_state = ScaleByAdam8bitState(
-            count=count,
-            mu=jax.tree.map(lambda m: _quantize(m, block), mu),
-            nu=jax.tree.map(lambda v: _quantize_log(v, block), nu),
+        new_updates, new_mu, new_nu = three(0), three(1), three(2)
+        return new_updates, ScaleByAdam8bitState(
+            count=count, mu=new_mu, nu=new_nu
         )
-        return new_updates, new_state
 
     return optax.GradientTransformation(init_fn, update_fn)
 

@@ -272,9 +272,17 @@ def make_train_step(
                 return jax.value_and_grad(global_loss)(p_)
 
             specs = {k: key_spec[k] for k in batch}
+            kwargs = {}
+            if mesh.shape.get("model", 1) > 1:
+                # Manual axes: data + seq only. "model" stays an AUTO axis so
+                # GSPMD keeps partitioning the TP-sharded param matmuls
+                # (parallel/tp.py) inside the shard_map body; P() in_specs
+                # then mean "replicated over data/seq" rather than "over the
+                # whole mesh". jax >= 0.8 (`axis_names`).
+                kwargs["axis_names"] = {d, s}
             fn = shard_map(
                 local, mesh=mesh, in_specs=(P(), specs, P()),
-                out_specs=(P(), P()),
+                out_specs=(P(), P()), **kwargs,
             )
             return fn(params, batch, rng)
 

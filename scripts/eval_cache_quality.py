@@ -15,8 +15,15 @@ ranking of modes and the order of magnitude of the deviation transfer.
 With a real checkpoint loaded (scripts/inference.py --net), the same
 script measures production numbers.
 
+Error bars (VERDICT r3 item 5): the matrix re-runs over several
+random-init SEEDS (different networks, same trajectory dynamics) and
+several image SIZES, reporting mean/min/max per mode. Params are jit
+ARGUMENTS, so extra seeds reuse every trace and compile; extra sizes pay
+one compile per mode.
+
 Run ONLY on the TPU. Env: HALLO_EVAL_SCALE=tiny|full,
-HALLO_EVAL_THRESHOLDS="0.05,0.10,0.20", HALLO_EVAL_STEPS.
+HALLO_EVAL_THRESHOLDS="0.05,0.10,0.20", HALLO_EVAL_STEPS,
+HALLO_EVAL_SEEDS="0,1,2", HALLO_EVAL_SIZES="256,512".
 """
 
 from __future__ import annotations
@@ -81,64 +88,19 @@ def main() -> None:
         float(t)
         for t in os.environ.get("HALLO_EVAL_THRESHOLDS", "0.10").split(",")
     ]
+    seeds = [
+        int(x) for x in os.environ.get("HALLO_EVAL_SEEDS", "0").split(",")
+    ]
     if scale == "tiny":
-        height = width = 64
-        clip = 4
-        dtype = jnp.float32
+        default_sizes, clip, dtype = "64", 4, jnp.float32
     else:
-        height = width = 512
-        clip = 16
-        dtype = jnp.bfloat16
+        default_sizes, clip, dtype = "512", 16, jnp.bfloat16
+    sizes = [
+        int(x)
+        for x in os.environ.get("HALLO_EVAL_SIZES", default_sizes).split(",")
+    ]
     m = 2
 
-    log(f"building models scale={scale}")
-    models = build_models(
-        scale, dtype=dtype, init_key=jax.random.PRNGKey(0),
-        height=height, width=width, clip_length=clip, n_motion_frames=m,
-        param_dtype=(dtype if scale == "full" else None),
-    )
-    inputs = dummy_clip_inputs(models, height, width, clip, m, batch=1)
-    ref_image = jnp.asarray(inputs["ref_image"])
-    motion = jnp.repeat(ref_image[:, None], m, axis=1)
-    ref_pixels = jnp.concatenate([ref_image[:, None], motion], axis=1)
-    latents = jax.random.normal(
-        jax.random.PRNGKey(42), (1, clip, height // 8, width // 8, 4),
-        jnp.float32,
-    )
-    clip_audio = jnp.asarray(inputs["audio_windows"])[None]
-    args_tail = (
-        clip_audio, jnp.asarray(inputs["face_emb"]),
-        jnp.asarray(inputs["face_region"]),
-        tuple(tuple(jnp.asarray(x) for x in lvl) for lvl in inputs["masks"]),
-        jnp.ones(3),
-    )
-
-    def run(step_cache, thresh, cfg_stride=1, sampler="ddim", n_steps=None):
-        pipe = FaceAnimatePipeline(
-            models, SchedulerConfig(), num_inference_steps=n_steps or steps,
-            guidance_scale=3.5, clip_length=clip, n_motion_frames=m,
-            step_cache=step_cache, step_cache_threshold=thresh,
-            cfg_cache_stride=cfg_stride, sampler=sampler,
-        )
-        t0 = time.perf_counter()
-        frames = np.asarray(
-            pipe._generate_clip(models.params, ref_pixels, latents, *args_tail)[0]
-        )
-        compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        frames = np.asarray(
-            pipe._generate_clip(models.params, ref_pixels, latents, *args_tail)[0]
-        )
-        run_s = time.perf_counter() - t0
-        return frames, run_s, compile_s
-
-    log("running exact path")
-    exact, exact_s, c0 = run(None, 0.0)
-    log(f"exact {exact_s:.2f}s/clip (compile {c0:.0f}s)")
-
-    # LPIPS (the north-star acceptance metric) — computed when weights are
-    # present (pretrained_models/lpips_alex.pth or $HALLO_LPIPS_WEIGHTS),
-    # otherwise the column reports the skip reason.
     from hallo_tpu.utils.lpips import load_lpips, lpips_from_uint8
 
     lpips_params, lpips_status = load_lpips()
@@ -158,42 +120,145 @@ def main() -> None:
         # --profile turbo: fast + the dynamic step cache on top
         + [("dynamic", thresholds[-1], 3, "dpm++2m", 15, "turbo_profile")]
     )
-    results = []
-    for mode, th, stride, sampler, n_steps, label in modes:
-        log(f"running {label or mode} thresh={th} cfg_stride={stride} "
-            f"sampler={sampler} steps={n_steps or steps}")
-        frames, run_s, comp_s = run(mode, th, stride, sampler, n_steps)
-        entry = {
-            "mode": label or (
-                (mode or "exact") + (f"+cfg{stride}" if stride > 1 else "")
-            ),
-            "sampler": sampler,
-            "steps": n_steps or steps,
-            "threshold": th if mode == "dynamic" else None,
-            "cfg_cache_stride": stride,
-            "psnr_vs_exact_db": round(psnr(frames, exact), 2),
-            "ssim_vs_exact": round(ssim(frames, exact), 4),
-            "lpips_vs_exact": (
-                round(lpips_from_uint8(lpips_params, frames, exact), 4)
-                if lpips_params is not None else None
-            ),
-            "mean_abs_diff": round(
-                float(np.mean(np.abs(frames.astype(np.float64) - exact))), 3
-            ),
-            "clip_seconds": round(run_s, 3),
-            "speedup_vs_exact": round(exact_s / run_s, 3),
+
+    def agg(values):
+        vals = [v for v in values if v is not None]
+        if not vals:
+            return None
+        if len(vals) == 1:
+            return round(vals[0], 4)
+        return {
+            "mean": round(float(np.mean(vals)), 4),
+            "min": round(float(np.min(vals)), 4),
+            "max": round(float(np.max(vals)), 4),
         }
-        log(str(entry))
-        results.append(entry)
+
+    sections = []
+    for size in sizes:
+        height = width = size
+        log(f"=== size {size} ===")
+        # One pipeline per mode per size: params are jit ARGUMENTS, so all
+        # seeds share each pipeline's trace + compile.
+        # ONE HalloModels object per size; per-seed init_params swaps the
+        # param tree in place so only one full param set lives in HBM and
+        # every pipeline keeps referring to the same module definitions.
+        models0 = build_models(scale, dtype=dtype)
+
+        def make_pipe(step_cache, thresh, cfg_s, sampler, n_steps):
+            return FaceAnimatePipeline(
+                models0,
+                SchedulerConfig(), num_inference_steps=n_steps or steps,
+                guidance_scale=3.5, clip_length=clip, n_motion_frames=m,
+                step_cache=step_cache, step_cache_threshold=thresh,
+                cfg_cache_stride=cfg_s, sampler=sampler,
+            )
+
+        pipes = {}
+        per_mode = {None: []}  # mode index -> list of per-seed entries
+        for i in range(len(modes)):
+            per_mode[i] = []
+        for seed in seeds:
+            log(f"size {size}: initializing params seed={seed}")
+            models0.params = {}  # drop the previous seed's tree first
+            models0.init_params(
+                jax.random.PRNGKey(seed), height=height, width=width,
+                clip_length=clip, n_motion_frames=m,
+                param_dtype=(dtype if scale == "full" else None),
+            )
+            if not pipes:
+                pipes["exact"] = make_pipe(None, 0.0, 1, "ddim", None)
+                for i, (mode, th, stride, sampler, n_steps, _) in enumerate(
+                    modes
+                ):
+                    pipes[i] = make_pipe(mode, th, stride, sampler, n_steps)
+            inputs = dummy_clip_inputs(models0, height, width, clip, m,
+                                       batch=1, seed=seed)
+            ref_image = jnp.asarray(inputs["ref_image"])
+            motion = jnp.repeat(ref_image[:, None], m, axis=1)
+            ref_pixels = jnp.concatenate([ref_image[:, None], motion], axis=1)
+            latents = jax.random.normal(
+                jax.random.PRNGKey(42 + seed),
+                (1, clip, height // 8, width // 8, 4), jnp.float32,
+            )
+            clip_audio = jnp.asarray(inputs["audio_windows"])[None]
+            args_tail = (
+                clip_audio, jnp.asarray(inputs["face_emb"]),
+                jnp.asarray(inputs["face_region"]),
+                tuple(
+                    tuple(jnp.asarray(x) for x in lvl)
+                    for lvl in inputs["masks"]
+                ),
+                jnp.ones(3),
+            )
+
+            def run(pipe):
+                t0 = time.perf_counter()
+                frames = np.asarray(pipe._generate_clip(
+                    models0.params, ref_pixels, latents, *args_tail)[0])
+                first_s = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                frames = np.asarray(pipe._generate_clip(
+                    models0.params, ref_pixels, latents, *args_tail)[0])
+                return frames, time.perf_counter() - t0, first_s
+
+            exact, exact_s, c0 = run(pipes["exact"])
+            log(f"seed {seed} exact {exact_s:.2f}s/clip (first {c0:.0f}s)")
+            per_mode[None].append({"clip_seconds": exact_s})
+            for i, (mode, th, stride, sampler, n_steps, label) in enumerate(
+                modes
+            ):
+                frames, run_s, _ = run(pipes[i])
+                entry = {
+                    "psnr": psnr(frames, exact),
+                    "ssim": ssim(frames, exact),
+                    "lpips": (
+                        lpips_from_uint8(lpips_params, frames, exact)
+                        if lpips_params is not None else None
+                    ),
+                    "mad": float(
+                        np.mean(np.abs(frames.astype(np.float64) - exact))
+                    ),
+                    "clip_seconds": run_s,
+                    "speedup": exact_s / run_s,
+                }
+                log(f"seed {seed} {label or mode}: psnr={entry['psnr']:.2f} "
+                    f"ssim={entry['ssim']:.4f} {run_s:.2f}s")
+                per_mode[i].append(entry)
+
+        mode_rows = []
+        for i, (mode, th, stride, sampler, n_steps, label) in enumerate(modes):
+            rows = per_mode[i]
+            mode_rows.append({
+                "mode": label or (
+                    (mode or "exact") + (f"+cfg{stride}" if stride > 1 else "")
+                ),
+                "sampler": sampler,
+                "steps": n_steps or steps,
+                "threshold": th if mode == "dynamic" else None,
+                "cfg_cache_stride": stride,
+                "psnr_vs_exact_db": agg([r["psnr"] for r in rows]),
+                "ssim_vs_exact": agg([r["ssim"] for r in rows]),
+                "lpips_vs_exact": agg([r["lpips"] for r in rows]),
+                "mean_abs_diff": agg([r["mad"] for r in rows]),
+                "clip_seconds": agg([r["clip_seconds"] for r in rows]),
+                "speedup_vs_exact": agg([r["speedup"] for r in rows]),
+            })
+        sections.append({
+            "size": size,
+            "seeds": seeds,
+            "exact_clip_seconds": agg(
+                [r["clip_seconds"] for r in per_mode[None]]
+            ),
+            "modes": mode_rows,
+        })
 
     print(json.dumps({
         "metric": "step_cache_quality_audit",
-        "exact_clip_seconds": round(exact_s, 3),
         "scale": scale,
         "steps": steps,
         "weights": "random-init (relative numbers; see docstring)",
         "lpips": lpips_status,
-        "modes": results,
+        "sections": sections,
     }))
 
 

@@ -27,9 +27,17 @@ logger = logging.getLogger("hallo_tpu.inference")
 
 
 def inference_process(args: argparse.Namespace) -> str:
+    import json
+    import time
+
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    from hallo_tpu.utils.profiling import StageTimer
+
+    timer = StageTimer()
+    t_start = time.perf_counter()
 
     from hallo_tpu import config as cfglib
     from hallo_tpu.config import (
@@ -71,12 +79,13 @@ def inference_process(args: argparse.Namespace) -> str:
     dtype = jnp.bfloat16 if str(config.weight_dtype) in ("bf16", "fp16") else jnp.float32
 
     # ------------------------------------------------------------- image
-    img_proc = ImageProcessor(
-        (width, height), config.face_analysis.model_path
-    )
-    processed = img_proc.preprocess(
-        config.source_image, float(config.face_expand_ratio)
-    )
+    with timer.stage("image_preprocess"):
+        img_proc = ImageProcessor(
+            (width, height), config.face_analysis.model_path
+        )
+        processed = img_proc.preprocess(
+            config.source_image, float(config.face_expand_ratio)
+        )
 
     # ------------------------------------------------------------- models
     unet_kwargs = cfglib.to_container(config.unet_additional_kwargs)
@@ -105,17 +114,20 @@ def inference_process(args: argparse.Namespace) -> str:
         audio_proj_config=AudioProjConfig(output_dim=den_cfg.audio_attention_dim),
         dtype=dtype,
     )
-    models.init_params(
-        jax.random.PRNGKey(0),
-        height=height,
-        width=width,
-        clip_length=clip_length,
-        n_motion_frames=n_motion,
-        param_dtype=dtype,
-    )
+    with timer.stage("init_params"):
+        models.init_params(
+            jax.random.PRNGKey(0),
+            height=height,
+            width=width,
+            clip_length=clip_length,
+            n_motion_frames=n_motion,
+            param_dtype=dtype,
+        )
     # A found-but-wrong-layout checkpoint must exit non-zero, not render
     # garbage (reference inference.py:250 asserts load completeness).
     allow_partial = bool(getattr(args, "allow_partial", False))
+    timer_load = timer.stage("load_weights")
+    timer_load.__enter__()
     models.params = load_pretrained_params(
         models.params,
         base_model_path=str(config.base_model_path),
@@ -124,6 +136,7 @@ def inference_process(args: argparse.Namespace) -> str:
         net_pth_path=os.path.join(str(config.audio_ckpt_dir), "net.pth"),
         min_loaded_fraction=0.0 if allow_partial else 0.99,
     )
+    timer_load.__exit__(None, None, None)
 
     # ------------------------------------------------------------- audio
     from hallo_tpu.config import Wav2Vec2Config
@@ -154,10 +167,14 @@ def inference_process(args: argparse.Namespace) -> str:
         or None,
         only_last_features=str(config.wav2vec.features) == "last",
     )
-    audio_emb, audio_length = audio_proc.preprocess(
-        str(config.driving_audio), clip_length
-    )
-    audio_windows = window_audio_embeddings(audio_emb, margin=2)
+    with timer.stage("audio_preprocess"):
+        # vocal separation (when the MDX model is present) + resample +
+        # wav2vec forward — the reference's host-side audio path
+        # (scripts/inference.py:118-186).
+        audio_emb, audio_length = audio_proc.preprocess(
+            str(config.driving_audio), clip_length
+        )
+        audio_windows = window_audio_embeddings(audio_emb, margin=2)
 
     # ------------------------------------------------------------ pipeline
     # Named speed profiles (BASELINE.md speed/quality matrix). Explicit
@@ -225,24 +242,55 @@ def inference_process(args: argparse.Namespace) -> str:
         (processed.full_masks[d], processed.face_masks[d], processed.lip_masks[d])
         for d in range(4)
     )
-    video = pipe(
-        ref_image=processed.pixel_values[None],
-        audio_windows=audio_windows,
-        face_emb=processed.face_emb[None],
-        face_region=processed.face_region[None],
-        masks=masks,
-        motion_scale=(
-            float(config.pose_weight),
-            float(config.face_weight),
-            float(config.lip_weight),
-        ),
-        seed=42,
-        audio_length=audio_length,
-    )
+    with timer.stage("generate"):
+        video = pipe(
+            ref_image=processed.pixel_values[None],
+            audio_windows=audio_windows,
+            face_emb=processed.face_emb[None],
+            face_region=processed.face_region[None],
+            masks=masks,
+            motion_scale=(
+                float(config.pose_weight),
+                float(config.face_weight),
+                float(config.lip_weight),
+            ),
+            seed=42,
+            audio_length=audio_length,
+        )
 
-    write_video(video[0], output, fps=int(config.data.export_video.fps),
-                audio_path=str(config.driving_audio))
+    with timer.stage("write_video"):
+        write_video(video[0], output, fps=int(config.data.export_video.fps),
+                    audio_path=str(config.driving_audio))
     logger.info("wrote %s (%d frames)", output, video.shape[1])
+
+    timing_json = getattr(args, "timing_json", None)
+    if timing_json:
+        fps = int(config.data.export_video.fps)
+        n_frames = int(video.shape[1])
+        total_s = time.perf_counter() - t_start
+        out_seconds = n_frames / fps
+        stages = {k: v["total_s"] for k, v in timer.summary().items()}
+        report = {
+            "metric": "e2e_inference",
+            "profile": profile,
+            "sampler": sampler,
+            "steps": num_steps,
+            "frames": n_frames,
+            "fps": fps,
+            "num_clips": -(-n_frames // clip_length),
+            "stages_s": stages,
+            "total_s": round(total_s, 3),
+            "output_seconds": round(out_seconds, 3),
+            # TRUE end-to-end rate: wall clock from process start to muxed
+            # file, per second of output (bench.py's same-named field is
+            # denoise+decode only; this one includes preprocessing, weight
+            # load, compile, and the video write).
+            "seconds_per_1s_output": round(total_s / out_seconds, 3),
+            "smoke_mode": allow_partial,
+        }
+        with open(timing_json, "w") as fh:
+            json.dump(report, fh)
+        logger.info("timing: %s", json.dumps(report))
     return output
 
 
@@ -277,6 +325,11 @@ def main() -> None:
     parser.add_argument(
         "--inference_steps", type=int, default=None,
         help="override the config's denoise step count")
+    parser.add_argument(
+        "--timing_json", type=str, default=None,
+        help="write a JSON stage-timing breakdown (preprocess / weights / "
+             "generate / write and true end-to-end seconds per 1s of output) "
+             "to this path")
     parser.add_argument(
         "--profile", type=str, default=None,
         choices=("exact", "fast", "turbo"),

@@ -27,9 +27,17 @@ run_stage() {
 }
 
 : > "$RES"
-run_stage train_step python scripts/bench_train_step.py \
-  || { log "train_step retry (transient worker-crash rule)"; sleep 120; \
-       run_stage train_step_retry python scripts/bench_train_step.py; }
+if ! run_stage train_step python scripts/bench_train_step.py; then
+  if grep -q "Ran out of memory" /tmp/r4b_train_step.log; then
+    # OOM is a deterministic compile error — retrying wastes ~20 min of
+    # chip (measured r4b: the retry OOM'd identically).
+    log "train_step OOM (deterministic) — skipping retry"
+  else
+    log "train_step retry (transient worker-crash rule)"
+    sleep 120
+    run_stage train_step_retry python scripts/bench_train_step.py
+  fi
+fi
 run_stage bench_hoist1 env HALLO_BENCH_FAST=0 HALLO_HOIST_REF_KV=1 python bench.py
 run_stage bench_hoist0 env HALLO_BENCH_FAST=0 HALLO_HOIST_REF_KV=0 python bench.py
 log "ALL DONE"

@@ -163,24 +163,38 @@ def test_cfg_split_matches_masked_path(tiny_ref, tiny_denoise):
     audio = jnp.asarray(
         np.concatenate([np.zeros_like(audio_cond), audio_cond]).astype(np.float32)
     )
+    # Non-trivial 0/1 masks: the uncond fast path must reproduce the
+    # mask-gated to_out-bias term zero_conv(mask * bo), not just the
+    # zero-conv bias.
     masks = tuple(
-        tuple(jnp.ones((b * f, (hw // 2**d) ** 2)) for _ in range(3)) for d in range(4)
+        tuple(
+            jnp.asarray(
+                (rng.uniform(size=(b * f, (hw // 2**d) ** 2)) > 0.4).astype(
+                    np.float32
+                )
+            )
+            for _ in range(3)
+        )
+        for d in range(4)
     )
     args = (sample, jnp.asarray(300), ctx, ref_feats, motion_feats, audio, None,
             masks, jnp.ones(3))
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), *args, jnp.asarray([1.0, 0.0])
     )
-    # Give the zero-init audio convs non-zero weights/biases (as after
-    # training) so the uncond bias-restoring path is actually exercised.
-    params = jax.tree_util.tree_map_with_path(
-        lambda path, x: (
-            x + 0.01 * np.arange(x.size, dtype=np.float32).reshape(x.shape)
-            if any("zero_conv" in str(k) for k in path)
-            else x
-        ),
-        params,
-    )
+    # Give the zero-init audio convs AND every attention to_out bias
+    # non-zero values (as after training) so the uncond bias-restoring path
+    # is actually exercised: with zero to_out biases the uncond audio
+    # branches are exactly zero and a dropped bias term would go unseen.
+    def _perturb(path, x):
+        keys = [str(k) for k in path]
+        if any("zero_conv" in k for k in keys):
+            return x + 0.01 * np.arange(x.size, dtype=np.float32).reshape(x.shape)
+        if any("to_out" in k for k in keys) and x.ndim == 1:
+            return x + 0.02 * (1 + np.arange(x.size, dtype=np.float32) % 5)
+        return x
+
+    params = jax.tree_util.tree_map_with_path(_perturb, params)
     masked = jax.jit(lambda p: model.apply(p, *args, jnp.asarray([1.0, 0.0])))(params)
     split_out = jax.jit(lambda p: model.apply(p, *args, None, cfg_split=True))(params)
     np.testing.assert_allclose(

@@ -410,3 +410,40 @@ def test_real_onnx_files_check_support():
         m = load_onnx(p)
         missing = OnnxExecutor.check_support(m.graph)
         assert not missing, f"{p}: unsupported ops {missing}"
+
+
+def test_pad_op_attribute_and_input_forms(tmp_path):
+    """Pad both ways: opset<11 attribute pads and opset>=11 `pads` input
+    (the FaceMesh conversions use Pad around stride-2 convs — see
+    onnx_inventory.FACE_MESH)."""
+    x = np.arange(24, dtype=np.float32).reshape(1, 2, 3, 4)
+
+    path = str(tmp_path / "pad_attr.onnx")
+    save_onnx(
+        path,
+        [_node("Pad", ["x"], ["y"], mode="constant",
+               pads=[0, 0, 1, 2, 0, 0, 3, 4], value=1.5)],
+        {},
+        inputs={"x": [1, 2, 3, 4]},
+        outputs={"y": [1, 2, 7, 10]},
+        opset=10,
+    )
+    ex = OnnxExecutor(path)
+    got = np.asarray(ex(ex.params, {"x": x})["y"])
+    want = np.pad(x, ((0, 0), (0, 0), (1, 3), (2, 4)), constant_values=1.5)
+    np.testing.assert_array_equal(got, want)
+
+    path2 = str(tmp_path / "pad_input.onnx")
+    pads = np.array([0, 0, 0, 1, 0, 0, 0, 2], np.int64)
+    save_onnx(
+        path2,
+        [_node("Pad", ["x", "pads"], ["y"], mode="reflect")],
+        {"pads": pads},
+        inputs={"x": [1, 2, 3, 4]},
+        outputs={"y": [1, 2, 3, 7]},
+        opset=13,
+    )
+    ex2 = OnnxExecutor(path2)
+    got2 = np.asarray(ex2(ex2.params, {"x": x})["y"])
+    want2 = np.pad(x, ((0, 0), (0, 0), (0, 0), (1, 2)), mode="reflect")
+    np.testing.assert_array_equal(got2, want2)
