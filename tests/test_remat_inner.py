@@ -71,3 +71,42 @@ def test_remat_inner_matches_plain():
             np.asarray(flat1[path]), np.asarray(a), rtol=2e-4, atol=1e-6,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_feedforward_chunks_match_unchunked():
+    """FeedForward.chunks is a memory knob, not a math change: same params
+    (identical paths), same outputs, same grads."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hallo_tpu.models.layers import FeedForward
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 3, 8, 16)).astype(np.float32)
+    )
+    plain = FeedForward(16, dtype=jnp.float32)
+    chunked = FeedForward(16, dtype=jnp.float32, chunks=4)
+    params = plain.init(jax.random.PRNGKey(0), x)
+    # identical param paths -> the same tree initializes both
+    y0 = plain.apply(params, x)
+    y1 = chunked.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+
+    def loss(fn):
+        return lambda p: jnp.sum(fn.apply(p, x) ** 2)
+
+    g0 = jax.grad(loss(plain))(params)
+    g1 = jax.grad(loss(chunked))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        g0, g1,
+    )
+    # non-divisible token axis falls back to the unchunked path
+    x2 = x[:, :, :7]
+    y2 = FeedForward(16, dtype=jnp.float32, chunks=4).apply(params, x2)
+    np.testing.assert_allclose(
+        np.asarray(y2), np.asarray(plain.apply(params, x2)), atol=1e-6
+    )
