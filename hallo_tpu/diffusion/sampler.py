@@ -1,10 +1,12 @@
-"""Uniform sampler interface over DDIM and DPM-Solver++ (2M).
+"""Uniform sampler interface over DDIM, DPM-Solver++ (2M), and UniPC.
 
 Both pipelines run their denoise loop inside `lax.fori_loop`, so a sampler
 is exposed as a (state, init_carry, step) triple where `step` is a pure
 function of the loop index. DDIM is stateless across steps (empty carry);
 DPM-Solver++ 2M carries the previous step's x0 estimate (the multistep
-history that buys second-order accuracy for free — no extra model evals).
+history that buys second-order accuracy for free — no extra model evals);
+UniPC additionally carries the previous corrected sample and one more x0
+for its corrector. Carries are opaque pytrees to the pipelines.
 
 The reference ships only DDIM (hallo scripts/inference.py:193 +
 configs/inference/default.yaml:77-90); "dpm++2m" is the TPU rebuild's
@@ -13,15 +15,15 @@ eval-reduction path: 15-20 evals targeting 40-step-DDIM quality.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Tuple, Union
+from typing import Any, Callable, NamedTuple, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 
 from hallo_tpu.config import SchedulerConfig
-from hallo_tpu.diffusion import ddim, dpm
+from hallo_tpu.diffusion import ddim, dpm, unipc
 
-SAMPLERS = ("ddim", "dpm++2m")
+SAMPLERS = ("ddim", "dpm++2m", "unipc")
 
 
 class Sampler(NamedTuple):
@@ -34,11 +36,11 @@ class Sampler(NamedTuple):
     """
 
     name: str
-    state: Union[ddim.DDIMState, dpm.DPMState]
-    init_carry: Callable[[jax.Array], jax.Array]
+    state: Union[ddim.DDIMState, dpm.DPMState, unipc.UniPCState]
+    init_carry: Callable[[jax.Array], Any]  # latents -> carry pytree
     step: Callable[
-        [jax.Array, jax.Array, jax.Array, jax.Array],
-        Tuple[jax.Array, jax.Array],
+        [jax.Array, jax.Array, jax.Array, Any],
+        Tuple[jax.Array, Any],
     ]
 
     @property
@@ -78,5 +80,13 @@ def make_sampler(
             return dpm.dpm_step(state, i, model_output, sample, carry)
 
         return Sampler("dpm++2m", state, init_carry, step)
+
+    if name == "unipc":
+        state = unipc.make_state(cfg, num_inference_steps)
+
+        def step(i, model_output, sample, carry):
+            return unipc.unipc_step(state, i, model_output, sample, carry)
+
+        return Sampler("unipc", state, unipc.init_carry, step)
 
     raise ValueError(f"sampler={name!r}: expected one of {SAMPLERS}")

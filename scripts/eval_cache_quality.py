@@ -120,6 +120,15 @@ def main() -> None:
         # --profile turbo: fast + the dynamic step cache on top
         + [("dynamic", thresholds[-1], 3, "dpm++2m", 15, "turbo_profile")]
     )
+    if os.environ.get("HALLO_EVAL_UNIPC", "1") != "0":
+        # UniPC (predictor == dpm++2m, plus the UniC corrector): does the
+        # corrector buy quality at equal evals, and does it let the fast
+        # profile drop below 15 evals? (diffusion/unipc.py — the analytic
+        # -ODE margin is only ~2-3%, this is the real-network check.)
+        modes = modes + [
+            (None, 0.0, 3, "unipc", 15, "fast_unipc15"),
+            (None, 0.0, 3, "unipc", 12, "fast_unipc12"),
+        ]
 
     def agg(values):
         vals = [v for v in values if v is not None]

@@ -319,7 +319,8 @@ def main() -> None:
         help="recompute the CFG-uncond half only every Nth step "
              "(adaptive-guidance caching; 1 = off)")
     parser.add_argument(
-        "--sampler", type=str, default=None, choices=("ddim", "dpm++2m"),
+        "--sampler", type=str, default=None,
+        choices=("ddim", "dpm++2m", "unipc"),
         help="solver for the denoise loop: ddim (reference parity) or "
              "dpm++2m (second-order multistep; 15-20 evals ~ 40-step DDIM)")
     parser.add_argument(
