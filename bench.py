@@ -192,7 +192,10 @@ def main() -> None:
             "clip_seconds_latency": round(best, 4),
             "all_clip_seconds": [round(t, 4) for t in times],
             "compile_plus_first_s": round(compile_and_first_s, 2),
-            "seconds_per_1s_output": round(best / (clip / 25.0), 3),
+            # clip COMPUTE only (denoise + decode); the true end-to-end
+            # number incl. preprocess/write is scripts/bench_e2e.py's
+            # e2e_seconds_per_1s_output.
+            "compute_seconds_per_1s_output": round(best / (clip / 25.0), 3),
             "device": str(jax.devices()[0]),
             "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
             "scale": scale,

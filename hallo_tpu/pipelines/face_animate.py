@@ -663,9 +663,19 @@ class FaceAnimatePipeline:
         motion_scale=(1.0, 1.0, 1.0),
         seed: int = 42,
         audio_length: Optional[int] = None,
-    ) -> np.ndarray:
+        on_clip=None,
+        return_video: bool = True,
+    ) -> Optional[np.ndarray]:
         """Generate the full video by sliding-window clips with motion-frame
-        carry-over. Returns (B, T_out, H, W, 3) float32 in [0, 1]."""
+        carry-over. Returns (B, T_out, H, W, 3) float32 in [0, 1].
+
+        `on_clip(frames_uint8)` (optional) receives each clip's fetched
+        (B, f', H, W, 3) uint8 frames (already trimmed to `audio_length`)
+        while the NEXT clip is still denoising on-device — host-side
+        consumers (e.g. utils.video.StreamingVideoWriter) run in the shadow
+        of device time instead of serializing after generation. With
+        `return_video=False` frames are not accumulated on the host
+        (long-form runs stay O(clip) in host memory) and None is returned."""
         b, h, w, _ = ref_image.shape
         f, m_frames = self.clip_length, self.n_motion_frames
         t_total = audio_windows.shape[0]
@@ -691,6 +701,22 @@ class FaceAnimatePipeline:
         # busy; np.asarray on the PREVIOUS clip's frames blocks only the host.
         pending = None  # device frames of clip c-1, not yet fetched
         outputs = []
+        limit = audio_length if audio_length is not None else t_total
+        emitted = 0
+
+        def _emit(dev_frames) -> Optional[np.ndarray]:
+            # Fetch + trim one clip; feed the hook; return uint8 or None.
+            nonlocal emitted
+            arr = np.asarray(dev_frames)
+            take = min(arr.shape[1], limit - emitted)
+            if take <= 0:
+                return None
+            arr = arr[:, :take]
+            emitted += take
+            if on_clip is not None:
+                on_clip(arr)
+            return arr
+
         for c in range(num_clips):
             key, sub = jax.random.split(key)
             latents = jax.random.normal(sub, (b, f, h // 8, w // 8, 4), jnp.float32)
@@ -710,11 +736,14 @@ class FaceAnimatePipeline:
                 motion_scale,
             )
             if pending is not None:
-                outputs.append(np.asarray(pending).astype(np.float32) / 255.0)
+                got = _emit(pending)
+                if got is not None and return_video:
+                    outputs.append(got.astype(np.float32) / 255.0)
             pending = frames
-        outputs.append(np.asarray(pending).astype(np.float32) / 255.0)
+        got = _emit(pending)
+        if got is not None and return_video:
+            outputs.append(got.astype(np.float32) / 255.0)
 
-        video = np.concatenate(outputs, axis=1)
-        if audio_length is not None:
-            video = video[:, :audio_length]
-        return video
+        if not return_video:
+            return None
+        return np.concatenate(outputs, axis=1)

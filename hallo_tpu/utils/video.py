@@ -83,6 +83,66 @@ def write_video(
     return path
 
 
+class StreamingVideoWriter:
+    """Incremental mp4 writer: append clips as they are fetched from the
+    device so encoding hides behind the NEXT clip's on-chip denoise
+    (FaceAnimatePipeline's `on_clip` hook) instead of serializing after
+    generation, and so long-form runs never hold the whole video in host
+    memory. Same container/mux semantics as `write_video`
+    (reference: util.py:297-321 tensor_to_video, which buffers everything).
+    """
+
+    def __init__(self, path: str, fps: int = 25,
+                 audio_path: Optional[str] = None):
+        self.path = path
+        self.fps = fps
+        self.audio_path = audio_path
+        os.makedirs(os.path.dirname(os.path.abspath(path)) or ".",
+                    exist_ok=True)
+        self._tmp = path if audio_path is None else path + ".video.mp4"
+        self._writer = None  # opened lazily on the first clip (needs H, W)
+        self.frames_written = 0
+
+    def append(self, frames: np.ndarray) -> None:
+        """frames: (T, H, W, 3) float in [0,1] or uint8, RGB."""
+        frames = np.asarray(frames)
+        if frames.dtype != np.uint8:
+            frames = (np.clip(frames, 0, 1) * 255).astype(np.uint8)
+        if self._writer is None:
+            h, w = frames.shape[1:3]
+            self._writer = cv2.VideoWriter(
+                self._tmp, cv2.VideoWriter_fourcc(*"mp4v"), self.fps, (w, h)
+            )
+            if not self._writer.isOpened():
+                raise RuntimeError(f"cv2.VideoWriter failed for {self._tmp}")
+        for frame in frames:
+            self._writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+        self.frames_written += len(frames)
+
+    def close(self) -> str:
+        if self._writer is not None:
+            self._writer.release()
+            self._writer = None
+        if self.audio_path is not None:
+            ffmpeg = shutil.which("ffmpeg")
+            if ffmpeg is None:
+                logger.warning(
+                    "no ffmpeg binary: cannot mux audio; leaving %s (video) "
+                    "and the driving audio separate", self._tmp,
+                )
+                if self._tmp != self.path:
+                    shutil.move(self._tmp, self.path)
+            else:
+                subprocess.run(
+                    [ffmpeg, "-y", "-v", "error", "-i", self._tmp,
+                     "-i", self.audio_path,
+                     "-c:v", "copy", "-c:a", "aac", "-shortest", self.path],
+                    check=True,
+                )
+                os.remove(self._tmp)
+        return self.path
+
+
 def write_video_grid(
     videos: np.ndarray, path: str, fps: int = 25, n_rows: int = 2
 ) -> str:

@@ -57,7 +57,6 @@ def inference_process(args: argparse.Namespace) -> str:
         window_audio_embeddings,
     )
     from hallo_tpu.utils.factory import build_models
-    from hallo_tpu.utils.video import write_video
 
     config = cfglib.load_yaml(args.config)
     cli = {
@@ -242,8 +241,19 @@ def inference_process(args: argparse.Namespace) -> str:
         (processed.full_masks[d], processed.face_masks[d], processed.lip_masks[d])
         for d in range(4)
     )
+    # Stream each clip into the encoder as it is fetched: the cv2 encode of
+    # clip c runs while clip c+1 denoises on-device (~2 s of host work in a
+    # ~21 s device shadow at 512²), so "write_video" below is just the
+    # close + audio mux instead of a serial full-video encode. Long-form
+    # runs also stay O(clip) in host memory (return_video=False).
+    from hallo_tpu.utils.video import StreamingVideoWriter  # noqa: local import keeps CLI start light
+
+    vwriter = StreamingVideoWriter(
+        output, fps=int(config.data.export_video.fps),
+        audio_path=str(config.driving_audio),
+    )
     with timer.stage("generate"):
-        video = pipe(
+        pipe(
             ref_image=processed.pixel_values[None],
             audio_windows=audio_windows,
             face_emb=processed.face_emb[None],
@@ -256,17 +266,18 @@ def inference_process(args: argparse.Namespace) -> str:
             ),
             seed=42,
             audio_length=audio_length,
+            on_clip=lambda arr: vwriter.append(arr[0]),
+            return_video=False,
         )
 
     with timer.stage("write_video"):
-        write_video(video[0], output, fps=int(config.data.export_video.fps),
-                    audio_path=str(config.driving_audio))
-    logger.info("wrote %s (%d frames)", output, video.shape[1])
+        vwriter.close()
+    logger.info("wrote %s (%d frames)", output, vwriter.frames_written)
 
     timing_json = getattr(args, "timing_json", None)
     if timing_json:
         fps = int(config.data.export_video.fps)
-        n_frames = int(video.shape[1])
+        n_frames = int(vwriter.frames_written)
         total_s = time.perf_counter() - t_start
         out_seconds = n_frames / fps
         stages = {k: v["total_s"] for k, v in timer.summary().items()}
@@ -282,9 +293,9 @@ def inference_process(args: argparse.Namespace) -> str:
             "total_s": round(total_s, 3),
             "output_seconds": round(out_seconds, 3),
             # TRUE end-to-end rate: wall clock from process start to muxed
-            # file, per second of output (bench.py's same-named field is
-            # denoise+decode only; this one includes preprocessing, weight
-            # load, compile, and the video write).
+            # file, per second of output (bench.py reports the denoise+
+            # decode-only compute_seconds_per_1s_output; this one includes
+            # preprocessing, weight load, compile, and the video write).
             "seconds_per_1s_output": round(total_s / out_seconds, 3),
             "smoke_mode": allow_partial,
         }
