@@ -314,15 +314,18 @@ class FaceAnimatePipeline:
         ref_feats = jax.tree.map(lambda x: x[:, 0], split)
         motion_feats = jax.tree.map(lambda x: x[:, 1:], split)
 
-        # Hoist the step-invariant spatial-attention ref K/V projections out
-        # of the denoise loop: ~2 matmuls/site/clip instead of per-frame x
-        # per-step (exact math — see unet_denoise.spatial_ref_kv). Escape
-        # hatch HALLO_HOIST_REF_KV=0 for A/B measurement.
+        # Step-invariant spatial-attention ref K/V CAN hoist out of the
+        # denoise loop (exact math — see unet_denoise.spatial_ref_kv), but
+        # the r4 A/B measured it SLOWER at 512² (0.7731 vs 0.7760 fps): the
+        # theoretical matmul saving is only ~4.5 ms/step while the hoisted
+        # path pays a per-step K/V output concat that re-copies the
+        # invariant ref half (the un-hoisted input concat fuses into the
+        # projection matmuls). Default OFF; HALLO_HOIST_REF_KV=1 re-enables.
         ref_kv = (
             spatial_ref_kv(
                 p["denoising_net"], ref_feats, self.models.denoising_net.dtype
             )
-            if os.environ.get("HALLO_HOIST_REF_KV", "1") != "0"
+            if os.environ.get("HALLO_HOIST_REF_KV", "0") == "1"
             else None
         )
 

@@ -58,11 +58,12 @@ class StaticPipeline:
             params["reference_net"], ref_latents, jnp.zeros(()), context
         )
         ref_feats = feats  # single ref frame: bank is the whole batch
-        # Step-invariant ref K/V hoisted out of the denoise loop (exact math;
-        # see unet_denoise.spatial_ref_kv / tests/test_ref_kv_hoist.py).
+        # Step-invariant ref K/V can hoist out of the denoise loop (exact
+        # math; see unet_denoise.spatial_ref_kv / tests/test_ref_kv_hoist.py)
+        # but measured slower at 512² (r4 A/B in BASELINE.md) — default OFF.
         ref_kv = (
             spatial_ref_kv(params["denoising_net"], ref_feats, m.denoising_net.dtype)
-            if os.environ.get("HALLO_HOIST_REF_KV", "1") != "0"
+            if os.environ.get("HALLO_HOIST_REF_KV", "0") == "1"
             else None
         )
 

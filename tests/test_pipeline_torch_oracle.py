@@ -17,8 +17,8 @@ hand-built torch replica of the reference's whole clip program:
      the next clip (scripts/inference.py:294-310).
 
 A divergence in the bank split, uncond masking, the cfg_split fast paths,
-the hoisted ref-KV (HALLO_HOIST_REF_KV defaults ON inside the jitted clip
-program), the CFG combine, the DDIM v-prediction update, the uint8 motion
+the ref-KV path (hoisted when HALLO_HOIST_REF_KV=1; default OFF — the r4
+A/B measured the hoist slower at 512², see BASELINE.md), the CFG combine, the DDIM v-prediction update, the uint8 motion
 carry, or the legacy tiling fails this test; the self-consistent golden
 (test_e2e_golden.py) cannot distinguish those from consistent-but-wrong.
 
