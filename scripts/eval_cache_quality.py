@@ -113,21 +113,35 @@ def main() -> None:
         + [("dynamic", t, 1, "ddim", None, None) for t in thresholds]
         + [(None, 0.0, cfg_stride, "ddim", None, None)]   # CFG cache alone
         + [("dynamic", thresholds[-1], cfg_stride, "ddim", None, None)]
-        # the named fast profile (scripts/inference.py --profile fast):
-        # DPM-Solver++ (2M) @ 15 evals + CFG-uncond cache stride 3, judged
+        # DPM-Solver++ (2M) @ 15 evals + CFG-uncond cache stride 3 (the
+        # r3 fast profile, kept as the solver-order comparison row), judged
         # against the 40-step DDIM exact output.
-        + [(None, 0.0, 3, "dpm++2m", 15, "fast_profile")]
-        # --profile turbo: fast + the dynamic step cache on top
-        + [("dynamic", thresholds[-1], 3, "dpm++2m", 15, "turbo_profile")]
+        + [(None, 0.0, 3, "dpm++2m", 15, "fast_dpm15")]
+        # fast_dpm15 + the dynamic step cache on top (the r3 turbo)
+        + [("dynamic", thresholds[-1], 3, "dpm++2m", 15, "turbo_dpm15")]
     )
     if os.environ.get("HALLO_EVAL_UNIPC", "1") != "0":
         # UniPC (predictor == dpm++2m, plus the UniC corrector): does the
         # corrector buy quality at equal evals, and does it let the fast
         # profile drop below 15 evals? (diffusion/unipc.py — the analytic
         # -ODE margin is only ~2-3%, this is the real-network check.)
+        # r4 matrix answer: YES — unipc@12 beats dpm++2m@15 on PSNR/SSIM
+        # AND speed at every seed, so it became --profile fast; turbo is
+        # unipc@12 + the dynamic step cache on top.
         modes = modes + [
             (None, 0.0, 3, "unipc", 15, "fast_unipc15"),
             (None, 0.0, 3, "unipc", 12, "fast_unipc12"),
+            ("dynamic", thresholds[-1], 3, "unipc", 12, "turbo_unipc12"),
+        ]
+    only = os.environ.get("HALLO_EVAL_MODES")
+    if only:
+        # Comma-separated substrings matched against each mode's label
+        # (unlabeled rows match their sampler name) — lets a follow-up run
+        # audit ONE new mode without re-measuring the whole matrix.
+        keys = [k.strip() for k in only.split(",") if k.strip()]
+        modes = [
+            mo for mo in modes
+            if any(k in (mo[5] or mo[3]) for k in keys)
         ]
 
     def agg(values):

@@ -26,6 +26,24 @@ logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s: %(messag
 logger = logging.getLogger("hallo_tpu.inference")
 
 
+# Named speed profiles (BASELINE.md speed/quality matrix; audited by
+# scripts/eval_cache_quality.py — r4 matrix: unipc@12 dominates dpm++2m@15
+# on PSNR/SSIM AND speed at every seed/size). Explicit --sampler /
+# --step_cache / --cfg_cache_stride / --inference_steps flags win over the
+# profile's defaults. Module-level so tests can pin the definitions.
+PROFILE_DEFAULTS = {
+    "exact": {},
+    # UniPC (order-2 bh2) at 12 evals + uncond reuse every 3rd step.
+    "fast": {"sampler": "unipc", "inference_steps": 12,
+             "cfg_cache_stride": 3},
+    # fast + the dynamic step cache on top: the deepest quality trade
+    # (cached model outputs perturb the multistep history) — use only
+    # where BASELINE.md's audit row is acceptable.
+    "turbo": {"sampler": "unipc", "inference_steps": 12,
+              "cfg_cache_stride": 3, "step_cache": "dynamic"},
+}
+
+
 def inference_process(args: argparse.Namespace) -> str:
     import json
     import time
@@ -176,27 +194,12 @@ def inference_process(args: argparse.Namespace) -> str:
         audio_windows = window_audio_embeddings(audio_emb, margin=2)
 
     # ------------------------------------------------------------ pipeline
-    # Named speed profiles (BASELINE.md speed/quality matrix). Explicit
-    # --sampler/--step_cache/--cfg_cache_stride/inference_steps flags win
-    # over the profile's defaults.
     profile = getattr(args, "profile", None) or str(
         getattr(config, "profile", "") or ""
     ) or "exact"
-    prof_defaults = {
-        "exact": {},
-        # DPM-Solver++ 2M at 15 evals + uncond reuse every 3rd step:
-        # the audited fast profile (scripts/eval_cache_quality.py).
-        "fast": {"sampler": "dpm++2m", "inference_steps": 15,
-                 "cfg_cache_stride": 3},
-        # fast + the dynamic step cache on top: the deepest quality trade
-        # (cached model outputs perturb the multistep history) — use only
-        # where BASELINE.md's audit row is acceptable.
-        "turbo": {"sampler": "dpm++2m", "inference_steps": 15,
-                  "cfg_cache_stride": 3, "step_cache": "dynamic"},
-    }
-    if profile not in prof_defaults:
+    if profile not in PROFILE_DEFAULTS:
         raise SystemExit(f"--profile {profile!r}: expected exact|fast|turbo")
-    prof = prof_defaults[profile]
+    prof = PROFILE_DEFAULTS[profile]
 
     sampler = (getattr(args, "sampler", None)
                or str(getattr(config, "sampler", "") or "")

@@ -124,3 +124,19 @@ def test_cli_inference_smoke(tmp_path):
     frames = read_frames(result)
     assert len(frames) == 8, len(frames)  # trimmed to the true audio length
     assert frames[0].shape == (64, 64, 3)
+
+
+def test_speed_profile_definitions():
+    """Pin the named speed profiles to their audited definitions (BASELINE.md
+    r4 speed/quality matrix): fast = unipc @ 12 evals + CFG-uncond cache
+    stride 3 (measured dominating dpm++2m @ 15 on PSNR/SSIM AND speed at
+    every seed/size); turbo = fast + the dynamic step cache."""
+    from scripts.inference import PROFILE_DEFAULTS
+
+    assert set(PROFILE_DEFAULTS) == {"exact", "fast", "turbo"}
+    assert PROFILE_DEFAULTS["exact"] == {}
+    fast = PROFILE_DEFAULTS["fast"]
+    assert (fast["sampler"], fast["inference_steps"]) == ("unipc", 12)
+    assert fast["cfg_cache_stride"] == 3 and "step_cache" not in fast
+    turbo = PROFILE_DEFAULTS["turbo"]
+    assert turbo == {**fast, "step_cache": "dynamic"}
