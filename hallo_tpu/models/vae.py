@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from hallo_tpu.config import VAEConfig
-from hallo_tpu.models.layers import Conv, Dtype, GroupNorm
+from hallo_tpu.models.layers import Conv, Dtype, GroupNorm, Up2xConv
 from hallo_tpu.ops.attention import dot_product_attention
 
 
@@ -140,8 +140,9 @@ class VAEDecoder(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 h = VAEResnet(c, g, self.dtype, name=f"up_{i}_resnets_{j}")(h)
             if i < len(ch) - 1:
-                h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
-                h = Conv(c, dtype=self.dtype, name=f"up_{i}_upsample")(h)
+                # Fused nearest-2x + conv (layers.Up2xConv): same params as
+                # repeat + Conv; the 4x hi-res input never materializes.
+                h = Up2xConv(c, dtype=self.dtype, name=f"up_{i}_upsample")(h)
         h = GroupNorm(g, 1e-6, name="conv_norm_out")(h)
         h = nn.silu(h)
         h = Conv(cfg.out_channels, dtype=self.dtype, name="conv_out")(h)
