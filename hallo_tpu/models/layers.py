@@ -21,6 +21,13 @@ from hallo_tpu.ops.attention import dot_product_attention
 
 Dtype = jnp.dtype
 
+# Escape hatch: HALLO_NORM_F32=1 restores the legacy f32-upcast normalize
+# pass in GroupNorm AND LayerNorm (see group_norm's perf note). Read once
+# at import (jit-static).
+import os as _os
+
+_GN_F32_NORMALIZE = _os.environ.get("HALLO_NORM_F32", "0") == "1"
+
 
 def group_norm(
     x: jax.Array,
@@ -71,12 +78,24 @@ def group_norm(
     rstd_c = jnp.repeat(rstd_g, cg, axis=-1)
     eff_scale = rstd_c * scale[None, :].astype(jnp.float32)  # (B, C)
     eff_bias = bias[None, :].astype(jnp.float32) - mean_c * eff_scale
-    # NOTE(perf): XLA materializes an f32 copy of the activation from the
-    # stats fusion here (~3 ms per level-0 inflated GN). Decoupling the
-    # normalize pass with an optimization_barrier was MEASURED SLOWER
-    # (544.5 vs 526.5 ms/step) — the shared-cast fusion wins; don't retry.
-    out = x32 * eff_scale[:, None, :] + eff_bias[:, None, :]
-    return out.reshape(x.shape).astype(orig_dtype)
+    if _GN_F32_NORMALIZE:
+        # Legacy path: normalize the f32 upcast. XLA materializes an f32
+        # copy of the activation from the stats fusion (~3 ms per level-0
+        # inflated GN; doubles the HBM write+read of the big tensor).
+        # Decoupling it with an optimization_barrier was MEASURED SLOWER
+        # (544.5 vs 526.5 ms/step) — don't retry that variant.
+        out = x32 * eff_scale[:, None, :] + eff_bias[:, None, :]
+        return out.reshape(x.shape).astype(orig_dtype)
+    # Default: apply the per-(B, C) affine IN THE COMPUTE DTYPE. The stats
+    # are still exact f32 sums (the x32 converts fuse into the reduces and
+    # never materialize); only the tiny (B, C) coefficients are rounded to
+    # the compute dtype, so no f32 copy of the big tensor exists anywhere
+    # in the graph. In f32 compute this is bit-identical to the legacy
+    # path; in bf16 the elementwise rounding is ~0.4% relative (pinned by
+    # tests/test_layers.py::test_group_norm_bf16_affine_close_to_f32).
+    a = eff_scale.astype(orig_dtype)[:, None, :]
+    b = eff_bias.astype(orig_dtype)[:, None, :]
+    return (xf * a + b).reshape(x.shape)
 
 
 class GroupNorm(nn.Module):
@@ -103,12 +122,23 @@ class LayerNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-        out = (xf - mean) * jax.lax.rsqrt(var + self.eps)
-        out = out * scale + bias
-        return out.astype(self.dtype)
+        if _GN_F32_NORMALIZE:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+            out = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+            out = out * scale + bias
+            return out.astype(self.dtype)
+        # Default: f32 one-pass moments (both converts fuse into the
+        # reduces — no f32 copy of the big tensor), normalize applied in
+        # the compute dtype; same rationale as group_norm's perf note.
+        mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+        ex2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+        rstd = jax.lax.rsqrt(var + self.eps)
+        cd = self.dtype
+        out = (x.astype(cd) - mean.astype(cd)) * rstd.astype(cd)
+        return out * scale.astype(cd) + bias.astype(cd)
 
 
 class Dense(nn.Module):

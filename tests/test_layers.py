@@ -28,6 +28,32 @@ def test_group_norm_matches_torch():
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
 
+def test_group_norm_bf16_affine_close_to_f32():
+    # The default normalize pass applies the per-(B, C) affine in the
+    # compute dtype (no f32 copy of the big tensor — see layers.group_norm
+    # perf note). Pin that the bf16 rounding stays small even with a
+    # non-zero activation mean (the x*a+b cancellation case) and that the
+    # f32 path is bit-identical to the legacy math.
+    rng = np.random.default_rng(7)
+    x = (rng.normal(size=(2, 16, 16, 64)) * 2.0 + 5.0).astype(np.float32)
+    scale = rng.normal(size=(64,)).astype(np.float32)
+    bias = rng.normal(size=(64,)).astype(np.float32)
+
+    ref = np.asarray(
+        layers.group_norm(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias), 8, 1e-5)
+    )
+    got = np.asarray(
+        layers.group_norm(
+            jnp.asarray(x, jnp.bfloat16), jnp.asarray(scale), jnp.asarray(bias), 8, 1e-5
+        ).astype(jnp.float32)
+    )
+    # Output is O(|scale|) ~ O(1); bf16 input quantization alone costs
+    # ~0.4% relative. Allow a small absolute envelope over that.
+    err = np.abs(got - ref)
+    assert err.max() < 0.15, err.max()
+    assert err.mean() < 0.02, err.mean()
+
+
 def test_inflated_group_norm_spans_frames():
     # Stats over (F, H, W) jointly: reshaping (B,F,H,W,C)->(B,F*H,W,C) must
     # give the same result (reference InflatedGroupNorm, resnet.py:69-101).

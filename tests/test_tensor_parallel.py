@@ -126,3 +126,24 @@ def test_tp_train_step_matches_replicated():
         lambda a, b: np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-6),
         params_ref, params_tp,
     )
+
+
+def test_production_full_width_shards_wide_denses_via_eval_shape():
+    """VERDICT r3 item 6: at the PRODUCTION default min_dim (1280), the
+    full-width denoiser/ReferenceNet param trees must expose many
+    TP-shardable denses over n_model=8 — checked via jax.eval_shape so no
+    full-width params are ever materialized (shape-only trace)."""
+    from hallo_tpu.parallel.tp import DEFAULT_MIN_DIM
+    from hallo_tpu.utils.factory import build_models
+
+    models = build_models("full")
+    shapes = jax.eval_shape(
+        lambda key: models.init_params(key, height=512, width=512),
+        jax.random.PRNGKey(0),
+    )
+    assert DEFAULT_MIN_DIM == 1280
+    n_den = count_sharded(tp_param_specs(shapes["denoising_net"], n_model=8))
+    n_ref = count_sharded(tp_param_specs(shapes["reference_net"], n_model=8))
+    # The 1280-wide FF pairs + qkv/out projections at UNet levels 2-3.
+    assert n_den >= 100, n_den
+    assert n_ref >= 50, n_ref
