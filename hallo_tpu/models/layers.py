@@ -131,7 +131,13 @@ class LayerNorm(nn.Module):
             return out.astype(self.dtype)
         # Default: f32 one-pass moments (both converts fuse into the
         # reduces — no f32 copy of the big tensor), normalize applied in
-        # the compute dtype; same rationale as group_norm's perf note.
+        # the compute dtype; same perf rationale as group_norm. NOTE: unlike
+        # group_norm this also changes the f32 variance ESTIMATOR from
+        # two-pass E[(x-mean)^2] to one-pass E[x^2]-E[x]^2, which is
+        # cancellation-prone when |mean| >> std; the max(., 0) guard plus
+        # the large-mean envelope test (test_layer_norm_bf16_large_mean)
+        # bound the effect for this model's activation scales. Exact legacy
+        # math stays available under HALLO_NORM_F32=1.
         mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
         ex2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
         var = jnp.maximum(ex2 - jnp.square(mean), 0.0)

@@ -120,6 +120,12 @@ class StreamingVideoWriter:
         self.frames_written += len(frames)
 
     def close(self) -> str:
+        if self._writer is None and self.frames_written == 0:
+            # Never opened (e.g. generation raised before the first clip):
+            # there is no tmp video to mux — don't hand ffmpeg a missing file.
+            logger.warning("StreamingVideoWriter closed with 0 frames; "
+                           "no output written to %s", self.path)
+            return self.path
         if self._writer is not None:
             self._writer.release()
             self._writer = None

@@ -255,26 +255,29 @@ def inference_process(args: argparse.Namespace) -> str:
         output, fps=int(config.data.export_video.fps),
         audio_path=str(config.driving_audio),
     )
-    with timer.stage("generate"):
-        pipe(
-            ref_image=processed.pixel_values[None],
-            audio_windows=audio_windows,
-            face_emb=processed.face_emb[None],
-            face_region=processed.face_region[None],
-            masks=masks,
-            motion_scale=(
-                float(config.pose_weight),
-                float(config.face_weight),
-                float(config.lip_weight),
-            ),
-            seed=42,
-            audio_length=audio_length,
-            on_clip=lambda arr: vwriter.append(arr[0]),
-            return_video=False,
-        )
-
-    with timer.stage("write_video"):
-        vwriter.close()
+    try:
+        with timer.stage("generate"):
+            pipe(
+                ref_image=processed.pixel_values[None],
+                audio_windows=audio_windows,
+                face_emb=processed.face_emb[None],
+                face_region=processed.face_region[None],
+                masks=masks,
+                motion_scale=(
+                    float(config.pose_weight),
+                    float(config.face_weight),
+                    float(config.lip_weight),
+                ),
+                seed=42,
+                audio_length=audio_length,
+                on_clip=lambda arr: vwriter.append(arr[0]),
+                return_video=False,
+            )
+    finally:
+        # Always close: flushes whatever clips landed (and cleans up the
+        # .video.mp4 tmp) even if generation raised mid-run.
+        with timer.stage("write_video"):
+            vwriter.close()
     logger.info("wrote %s (%d frames)", output, vwriter.frames_written)
 
     timing_json = getattr(args, "timing_json", None)
@@ -335,8 +338,10 @@ def main() -> None:
     parser.add_argument(
         "--sampler", type=str, default=None,
         choices=("ddim", "dpm++2m", "unipc"),
-        help="solver for the denoise loop: ddim (reference parity) or "
-             "dpm++2m (second-order multistep; 15-20 evals ~ 40-step DDIM)")
+        help="solver for the denoise loop: ddim (reference parity), "
+             "dpm++2m (second-order multistep; 15-20 evals ~ 40-step DDIM), "
+             "or unipc (predictor-corrector; the fast profile's solver — "
+             "12 evals beats dpm++2m@15 on PSNR/SSIM and speed)")
     parser.add_argument(
         "--inference_steps", type=int, default=None,
         help="override the config's denoise step count")

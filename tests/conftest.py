@@ -24,10 +24,12 @@ import jax  # noqa: E402
 import jax._src.xla_bridge as _xb  # noqa: E402
 
 # Persistent compilation cache: XLA compiles take minutes on this 1-core
-# host; cache across processes/sessions.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# host; cache across processes/sessions. CPU entries embed host CPU target
+# features, so they live in a host-keyed dir (a foreign host rejecting them
+# with "machine type mismatch" poisoned the r4 driver artifact).
+from hallo_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(cpu=True)
 
 # jax is preloaded, so its config already captured JAX_PLATFORMS=axon from
 # the ambient env; override through the live config as well.

@@ -54,6 +54,41 @@ def test_group_norm_bf16_affine_close_to_f32():
     assert err.mean() < 0.02, err.mean()
 
 
+def test_layer_norm_bf16_large_mean():
+    # LayerNorm's default path uses one-pass E[x^2]-E[x]^2 f32 variance
+    # (unlike group_norm, the ESTIMATOR changed, not just the affine dtype)
+    # which is cancellation-prone for large-mean activations. Pin the
+    # accuracy envelope on both a large-mean f32 input and a bf16 input
+    # (ADVICE r4: layers.py LayerNorm).
+    rng = np.random.default_rng(11)
+    # |mean| = 40, std = 2: E[x^2] ~ 1604 vs var 4 — worst realistic
+    # cancellation for this model's activation scales.
+    x = (rng.normal(size=(4, 33, 320)) * 2.0 + 40.0).astype(np.float32)
+    scale = rng.normal(size=(320,)).astype(np.float32)
+    bias = rng.normal(size=(320,)).astype(np.float32)
+    params = {"params": {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)}}
+
+    x64 = x.astype(np.float64)
+    mean = x64.mean(-1, keepdims=True)
+    var = ((x64 - mean) ** 2).mean(-1, keepdims=True)
+    want = ((x64 - mean) / np.sqrt(var + 1e-5) * scale + bias).astype(np.float32)
+
+    got32 = np.asarray(layers.LayerNorm().apply(params, jnp.asarray(x)))
+    err32 = np.abs(got32 - want)
+    assert err32.max() < 5e-3, err32.max()  # one-pass f32 on mean=40 input
+
+    got_bf = np.asarray(
+        layers.LayerNorm(dtype=jnp.bfloat16)
+        .apply(params, jnp.asarray(x, jnp.bfloat16))
+        .astype(jnp.float32)
+    )
+    errbf = np.abs(got_bf - want)
+    # bf16 input quantization of a mean-40 input alone costs ~0.3%
+    # relative of |x| -> O(0.1) after the ~/2 normalize; affine |scale|~1.
+    assert errbf.max() < 0.35, errbf.max()
+    assert errbf.mean() < 0.05, errbf.mean()
+
+
 def test_inflated_group_norm_spans_frames():
     # Stats over (F, H, W) jointly: reshaping (B,F,H,W,C)->(B,F*H,W,C) must
     # give the same result (reference InflatedGroupNorm, resnet.py:69-101).

