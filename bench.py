@@ -153,19 +153,23 @@ def main() -> None:
     sustained_s = measure_sustained(pipe, n_clips)
     fps = batch * clip / sustained_s
 
-    # Named "fast" profile (scripts/inference.py --profile fast): UniPC
-    # (order-2 bh2) at 12 evals + CFG-uncond caching stride 3 — the audited
-    # quality-traded mode (BASELINE.md speed/quality matrix; unipc@12
-    # dominates dpm++2m@15 on quality AND speed). Measured in the
-    # same run so BENCH_r*.json carries exact AND fast numbers.
+    # Named "fast" profile: measured in the same run so BENCH_r*.json
+    # carries exact AND fast numbers. The definition comes from
+    # scripts/inference.py PROFILE_DEFAULTS (one source of truth — the
+    # audited quality-traded mode of BASELINE.md's speed/quality matrix).
     fast_detail = None
     if os.environ.get("HALLO_BENCH_FAST", "1") != "0" and step_cache is None \
             and cfg_stride == 1 and sampler == "ddim":
-        log("compiling fast profile (unipc @ 12 + cfg_cache_stride 3)")
+        from scripts.inference import PROFILE_DEFAULTS
+
+        prof = dict(PROFILE_DEFAULTS["fast"])
+        fast_steps = prof.pop("inference_steps")
+        log(f"compiling fast profile ({prof.get('sampler')} @ {fast_steps} "
+            f"+ {prof})")
         fast_pipe = FaceAnimatePipeline(
-            models, SchedulerConfig(), num_inference_steps=12,
+            models, SchedulerConfig(), num_inference_steps=fast_steps,
             guidance_scale=3.5, clip_length=clip, n_motion_frames=m,
-            cfg_cache_stride=3, sampler="unipc",
+            **prof,
         )
         t0 = time.perf_counter()
         np.asarray(fast_pipe._generate_clip(*args)[0])
@@ -175,9 +179,8 @@ def main() -> None:
         fast_detail = {
             "fps": round(batch * clip / fast_sustained, 4),
             "clip_seconds_sustained": round(fast_sustained, 4),
-            "sampler": "unipc",
-            "steps": 12,
-            "cfg_cache_stride": 3,
+            "steps": fast_steps,
+            **prof,
             "compile_plus_first_s": round(fast_compile_s, 2),
             "quality_note": "PSNR/SSIM-vs-exact audited in BASELINE.md "
                             "(scripts/eval_cache_quality.py fast-profile row)",

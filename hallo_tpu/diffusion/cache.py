@@ -63,6 +63,45 @@ def make_uncond_mask(
     return mask
 
 
+def make_cfg_plan(
+    num_steps: int,
+    stride: int,
+    guidance_scale: float,
+    warmup: int | None = None,
+    cooldown: int | None = None,
+    tail: int = 0,
+):
+    """Per-step CFG execution plan: (uncond_mask, guidance_weights).
+
+    - `uncond_mask[i]` True = evaluate the uncond half at step i (else the
+      cached uncond is reused by the combine — make_uncond_mask semantics).
+    - `guidance_weights[i]` = the CFG scale applied at step i. In the last
+      `tail` steps it is 1.0 — guidance OFF entirely (pred = cond), which
+      both saves the uncond evals there and avoids extrapolating against a
+      stale cached uncond (guidance-interval truncation: at low noise the
+      cond/uncond predictions have converged, so the extrapolation adds
+      noise, not signal — see PAPERS.md guidance-interval lineage; VERDICT
+      r5 item 3b).
+
+    warmup/cooldown default to the legacy 6/4 when None, but SCALED DOWN
+    to ~15%/10% of num_steps when that exceeds the step budget (the 6/4
+    defaults were tuned for 40 steps; at 12 steps they left only 2 strides
+    eligible — BASELINE.md r5)."""
+    if warmup is None:
+        warmup = 6 if num_steps >= 24 else max(2, round(0.15 * num_steps))
+    if cooldown is None:
+        cooldown = 4 if num_steps >= 24 else max(1, round(0.10 * num_steps))
+    tail = int(max(0, min(tail, num_steps)))
+    mask = make_uncond_mask(num_steps, stride, warmup=warmup, cooldown=cooldown)
+    gw = np.full(num_steps, float(guidance_scale))
+    if tail:
+        mask[num_steps - tail:] = False
+        gw[num_steps - tail:] = 1.0
+    if tail < num_steps:
+        mask[0] = True  # nothing cached yet
+    return mask, gw
+
+
 def make_allow_mask(
     num_steps: int, warmup: int = 6, cooldown: int = 4
 ) -> np.ndarray:

@@ -30,9 +30,11 @@ class DDIMState(NamedTuple):
         return self.timesteps.shape[0]
 
 
-def make_state(cfg: SchedulerConfig, num_inference_steps: int) -> DDIMState:
+def make_state(cfg: SchedulerConfig, num_inference_steps: int,
+               timesteps=None) -> DDIMState:
     ac = schedule.alphas_cumprod(cfg)
-    ts = schedule.inference_timesteps(cfg, num_inference_steps)
+    ts = (np.asarray(timesteps) if timesteps is not None
+          else schedule.inference_timesteps(cfg, num_inference_steps))
     # set_alpha_to_one=False default in the reference config -> the "final"
     # alpha used when stepping past t=0 is alphas_cumprod[0].
     return DDIMState(

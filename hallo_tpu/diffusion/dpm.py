@@ -54,14 +54,16 @@ class DPMState(NamedTuple):
         return self.timesteps.shape[0]
 
 
-def make_state(cfg: SchedulerConfig, num_inference_steps: int) -> DPMState:
+def make_state(cfg: SchedulerConfig, num_inference_steps: int,
+               timesteps=None) -> DPMState:
     acp = schedule.alphas_cumprod(cfg).astype(np.float64)
     if cfg.rescale_betas_zero_snr:
         # Zero terminal SNR makes lambda = log(alpha/sigma) -> -inf at the
         # last trained timestep; diffusers clamps it (scheduling_dpmsolver_
         # multistep: alphas_cumprod[-1] = 2**-24).
         acp[-1] = max(acp[-1], 2.0**-24)
-    ts = schedule.inference_timesteps(cfg, num_inference_steps)
+    ts = (np.asarray(timesteps) if timesteps is not None
+          else schedule.inference_timesteps(cfg, num_inference_steps))
     n = len(ts)
 
     alpha = np.sqrt(acp[ts])  # (S,)

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from hallo_tpu.config import SchedulerConfig
 from hallo_tpu.diffusion import ddim, dpm, unipc
+from hallo_tpu.diffusion import schedule as schedule_mod
 
 SAMPLERS = ("ddim", "dpm++2m", "unipc")
 
@@ -53,11 +54,29 @@ class Sampler(NamedTuple):
 
 
 def make_sampler(
-    cfg: SchedulerConfig, name: str, num_inference_steps: int
+    cfg: SchedulerConfig,
+    name: str,
+    num_inference_steps: int,
+    timestep_schedule: str = "trailing",
+    schedule_rho: float = 1.0,
 ) -> Sampler:
+    """`timestep_schedule="logsnr"` replaces the trailing-uniform eval grid
+    with knots spaced in log-SNR (schedule.logsnr_timesteps; rho curves the
+    spacing) — same endpoints, redistributed interior knots. "trailing" is
+    reference parity (default.yaml:90)."""
     name = (name or "ddim").lower()
+    if timestep_schedule in (None, "", "trailing", "default"):
+        ts = None
+    elif timestep_schedule == "logsnr":
+        ts = schedule_mod.logsnr_timesteps(
+            cfg, num_inference_steps, rho=schedule_rho
+        )
+    else:
+        raise ValueError(
+            f"timestep_schedule={timestep_schedule!r}: 'trailing' or 'logsnr'"
+        )
     if name == "ddim":
-        state = ddim.make_state(cfg, num_inference_steps)
+        state = ddim.make_state(cfg, num_inference_steps, timesteps=ts)
 
         def init_carry(latents: jax.Array) -> jax.Array:
             del latents
@@ -69,7 +88,7 @@ def make_sampler(
         return Sampler("ddim", state, init_carry, step)
 
     if name in ("dpm++2m", "dpm", "dpmsolver++"):
-        state = dpm.make_state(cfg, num_inference_steps)
+        state = dpm.make_state(cfg, num_inference_steps, timesteps=ts)
 
         def init_carry(latents: jax.Array) -> jax.Array:
             # prev_x0 history; step 0's second-order weight is 0 so the
@@ -82,7 +101,7 @@ def make_sampler(
         return Sampler("dpm++2m", state, init_carry, step)
 
     if name == "unipc":
-        state = unipc.make_state(cfg, num_inference_steps)
+        state = unipc.make_state(cfg, num_inference_steps, timesteps=ts)
 
         def step(i, model_output, sample, carry):
             return unipc.unipc_step(state, i, model_output, sample, carry)

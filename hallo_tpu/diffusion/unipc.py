@@ -71,12 +71,14 @@ class UniPCState(NamedTuple):
         return self.timesteps.shape[0]
 
 
-def make_state(cfg: SchedulerConfig, num_inference_steps: int) -> UniPCState:
+def make_state(cfg: SchedulerConfig, num_inference_steps: int,
+               timesteps=None) -> UniPCState:
     acp = schedule.alphas_cumprod(cfg).astype(np.float64)
     if cfg.rescale_betas_zero_snr:
         # keep log-SNR finite at the last trained timestep (diffusers clamp)
         acp[-1] = max(acp[-1], 2.0**-24)
-    ts = schedule.inference_timesteps(cfg, num_inference_steps)
+    ts = (np.asarray(timesteps) if timesteps is not None
+          else schedule.inference_timesteps(cfg, num_inference_steps))
     n = len(ts)
 
     alpha = np.sqrt(acp[ts])

@@ -205,6 +205,11 @@ class FaceAnimatePipeline:
         step_cache_threshold: float = 0.10,
         cfg_cache_stride: int = 1,
         sampler: str = "ddim",
+        cfg_tail: int = 0,
+        cfg_cache_warmup: Optional[int] = None,
+        cfg_cache_cooldown: Optional[int] = None,
+        timestep_schedule: str = "trailing",
+        schedule_rho: float = 1.0,
     ):
         """With `mesh` (containing a >1-sized `seq_axis`), each denoise step
         runs clip-parallel: the 16-frame window's frame axis is sharded over
@@ -264,12 +269,24 @@ class FaceAnimatePipeline:
         self.cfg_cache_stride = int(cfg_cache_stride)
         if self.cfg_cache_stride < 1:
             raise ValueError(f"cfg_cache_stride={cfg_cache_stride} must be >= 1")
-        if self.cfg_cache_stride > 1 and step_cache == "uniform":
+        # Guidance-interval truncation: the last `cfg_tail` steps run
+        # conditional-only with guidance weight 1.0 (diffusion/cache.py
+        # make_cfg_plan) — saves the uncond eval where the cond/uncond
+        # predictions have already converged.
+        self.cfg_tail = int(cfg_tail)
+        self.cfg_cache_warmup = cfg_cache_warmup
+        self.cfg_cache_cooldown = cfg_cache_cooldown
+        if (self.cfg_cache_stride > 1 or self.cfg_tail > 0) and (
+            step_cache == "uniform"
+        ):
             raise ValueError(
-                "cfg_cache_stride composes with step_cache None or 'dynamic', "
-                "not 'uniform'"
+                "cfg_cache_stride/cfg_tail compose with step_cache None or "
+                "'dynamic', not 'uniform'"
             )
-        self._samp = make_sampler(scheduler, sampler, num_inference_steps)
+        self._samp = make_sampler(
+            scheduler, sampler, num_inference_steps,
+            timestep_schedule=timestep_schedule, schedule_rho=schedule_rho,
+        )
         self._generate_clip = jax.jit(self._clip_fn)
 
     # ------------------------------------------------------------------
@@ -410,8 +427,8 @@ class FaceAnimatePipeline:
             )
 
         use_cfg_cache = (
-            self.cfg_cache_stride > 1 and self.guidance_scale > 1.0
-        )
+            self.cfg_cache_stride > 1 or self.cfg_tail > 0
+        ) and self.guidance_scale > 1.0
         if use_cfg_cache:
             _half = lambda tr: jax.tree.map(lambda x: x[b:], tr)  # noqa: E731
             context_c, ref_feats_c, motion_feats_c = (
@@ -498,15 +515,21 @@ class FaceAnimatePipeline:
         samp = self._samp
 
         if use_cfg_cache:
-            from hallo_tpu.diffusion.cache import make_uncond_mask
+            from hallo_tpu.diffusion.cache import make_cfg_plan
 
-            un_mask = jnp.asarray(
-                make_uncond_mask(samp.num_steps, self.cfg_cache_stride)
+            un_mask_np, guid_w_np = make_cfg_plan(
+                samp.num_steps, self.cfg_cache_stride, self.guidance_scale,
+                warmup=self.cfg_cache_warmup, cooldown=self.cfg_cache_cooldown,
+                tail=self.cfg_tail,
             )
+            un_mask = jnp.asarray(un_mask_np)
+            guid_w = jnp.asarray(guid_w_np, jnp.float32)
 
             def run_cached_cfg(i, t, lat, u_prev):
                 """(pred, new_u_prev): full CFG step when un_mask[i], else
-                conditional-only with the cached uncond prediction."""
+                conditional-only with the cached uncond prediction; the
+                guidance weight is per-step (1.0 in the cfg_tail steps =
+                guidance off, the stale uncond cancels out)."""
 
                 def full(_):
                     un, co = run_halves(t, lat)
@@ -516,7 +539,7 @@ class FaceAnimatePipeline:
                     return u_prev, run_cond(t, lat).astype(jnp.float32)
 
                 un, co = jax.lax.cond(un_mask[i], full, cond_only, None)
-                return combine(un, co), un
+                return un + guid_w[i] * (co - un), un
 
         if self.step_cache is None and use_cfg_cache:
 

@@ -46,6 +46,12 @@ class TrainConfig:
     legacy_context_tiling: bool = True
     # scaled_linear is the reference's training beta schedule
     scheduler: SchedulerConfig = SchedulerConfig(beta_schedule="scaled_linear")
+    # Skip-and-count non-finite updates (the reference has no such guard —
+    # a single NaN loss poisons its run): when loss/grad_norm is non-finite
+    # the params and optimizer state keep their previous values and
+    # metrics["skipped"] is 1. The trainer loop counts consecutive skips
+    # and aborts past a threshold (scripts/train_stage{1,2}.py).
+    nan_guard: bool = True
 
 
 def _min_snr_weights(
@@ -296,9 +302,20 @@ def make_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         grad_norm = optax.global_norm(grads)
+        metrics = {"loss": loss, "grad_norm": grad_norm}
+        if cfg.nan_guard:
+            finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+            # per-leaf select keeps params AND optimizer state (incl. Adam
+            # step counts / 8-bit moment blocks) untouched on a bad step
+            keep = lambda new, old: jax.tree.map(  # noqa: E731
+                lambda n, o: jnp.where(finite, n, o), new, old
+            )
+            params = keep(params, state.params)
+            opt_state = keep(opt_state, state.opt_state)
+            metrics["skipped"] = 1.0 - finite.astype(jnp.float32)
         return (
             TrainState(step=state.step + 1, params=params, opt_state=opt_state),
-            {"loss": loss, "grad_norm": grad_norm},
+            metrics,
         )
 
     return train_step

@@ -107,18 +107,21 @@ def main() -> None:
     log(f"lpips: {lpips_status}")
 
     cfg_stride = int(os.environ.get("HALLO_EVAL_CFG_STRIDE", "3"))
-    # (step_cache, threshold, cfg_stride, sampler, n_steps, label)
+    # (step_cache, threshold, cfg_stride, sampler, n_steps, label, extra)
+    # `extra` = additional FaceAnimatePipeline kwargs (cfg_tail,
+    # cfg_cache_warmup/cooldown, timestep_schedule, schedule_rho).
+    E = {}
     modes = (
-        [("uniform", 0.0, 1, "ddim", None, None)]
-        + [("dynamic", t, 1, "ddim", None, None) for t in thresholds]
-        + [(None, 0.0, cfg_stride, "ddim", None, None)]   # CFG cache alone
-        + [("dynamic", thresholds[-1], cfg_stride, "ddim", None, None)]
+        [("uniform", 0.0, 1, "ddim", None, None, E)]
+        + [("dynamic", t, 1, "ddim", None, None, E) for t in thresholds]
+        + [(None, 0.0, cfg_stride, "ddim", None, None, E)]  # CFG cache alone
+        + [("dynamic", thresholds[-1], cfg_stride, "ddim", None, None, E)]
         # DPM-Solver++ (2M) @ 15 evals + CFG-uncond cache stride 3 (the
         # r3 fast profile, kept as the solver-order comparison row), judged
         # against the 40-step DDIM exact output.
-        + [(None, 0.0, 3, "dpm++2m", 15, "fast_dpm15")]
+        + [(None, 0.0, 3, "dpm++2m", 15, "fast_dpm15", E)]
         # fast_dpm15 + the dynamic step cache on top (the r3 turbo)
-        + [("dynamic", thresholds[-1], 3, "dpm++2m", 15, "turbo_dpm15")]
+        + [("dynamic", thresholds[-1], 3, "dpm++2m", 15, "turbo_dpm15", E)]
     )
     if os.environ.get("HALLO_EVAL_UNIPC", "1") != "0":
         # UniPC (predictor == dpm++2m, plus the UniC corrector): does the
@@ -128,10 +131,32 @@ def main() -> None:
         # r4 matrix answer: YES — unipc@12 beats dpm++2m@15 on PSNR/SSIM
         # AND speed at every seed, so it became --profile fast; turbo is
         # unipc@12 + the dynamic step cache on top.
+        LEGACY = {"cfg_cache_warmup": 6, "cfg_cache_cooldown": 4}
         modes = modes + [
-            (None, 0.0, 3, "unipc", 15, "fast_unipc15"),
-            (None, 0.0, 3, "unipc", 12, "fast_unipc12"),
-            ("dynamic", thresholds[-1], 3, "unipc", 12, "turbo_unipc12"),
+            (None, 0.0, 3, "unipc", 15, "fast_unipc15", LEGACY),
+            # r4's fast profile (40-step-tuned warmup/cooldown: 2 skips)
+            (None, 0.0, 3, "unipc", 12, "fast_unipc12_legacy", LEGACY),
+            ("dynamic", thresholds[-1], 3, "unipc", 12, "turbo_unipc12", E),
+        ]
+    if os.environ.get("HALLO_EVAL_R5", "1") != "0":
+        # r5 fast-profile candidates (VERDICT item 3): adaptive CFG-cache
+        # warmup/cooldown (2/1 at 12 steps — the pipeline default now),
+        # guidance-interval tail truncation, and the log-SNR step schedule.
+        modes = modes + [
+            # adaptive mask alone (the new pipeline default at stride 3)
+            (None, 0.0, 3, "unipc", 12, "r5_fast_w2c1", E),
+            # + guidance tail off for the last 3 steps
+            (None, 0.0, 3, "unipc", 12, "r5_tail3",
+             {"cfg_tail": 3}),
+            # log-SNR knots (rho from the CPU pre-screen), trailing mask
+            (None, 0.0, 3, "unipc", 12, "r5_logsnr",
+             {"timestep_schedule": "logsnr",
+              "schedule_rho": float(os.environ.get("HALLO_EVAL_RHO", "1.0"))}),
+            # composed candidate
+            (None, 0.0, 3, "unipc", 12, "r5_logsnr_tail3",
+             {"timestep_schedule": "logsnr",
+              "schedule_rho": float(os.environ.get("HALLO_EVAL_RHO", "1.0")),
+              "cfg_tail": 3}),
         ]
     only = os.environ.get("HALLO_EVAL_MODES")
     if only:
@@ -167,13 +192,13 @@ def main() -> None:
         # every pipeline keeps referring to the same module definitions.
         models0 = build_models(scale, dtype=dtype)
 
-        def make_pipe(step_cache, thresh, cfg_s, sampler, n_steps):
+        def make_pipe(step_cache, thresh, cfg_s, sampler, n_steps, extra=None):
             return FaceAnimatePipeline(
                 models0,
                 SchedulerConfig(), num_inference_steps=n_steps or steps,
                 guidance_scale=3.5, clip_length=clip, n_motion_frames=m,
                 step_cache=step_cache, step_cache_threshold=thresh,
-                cfg_cache_stride=cfg_s, sampler=sampler,
+                cfg_cache_stride=cfg_s, sampler=sampler, **(extra or {}),
             )
 
         pipes = {}
@@ -190,10 +215,10 @@ def main() -> None:
             )
             if not pipes:
                 pipes["exact"] = make_pipe(None, 0.0, 1, "ddim", None)
-                for i, (mode, th, stride, sampler, n_steps, _) in enumerate(
+                for i, (mode, th, stride, sampler, n_steps, _, ex) in enumerate(
                     modes
                 ):
-                    pipes[i] = make_pipe(mode, th, stride, sampler, n_steps)
+                    pipes[i] = make_pipe(mode, th, stride, sampler, n_steps, ex)
             inputs = dummy_clip_inputs(models0, height, width, clip, m,
                                        batch=1, seed=seed)
             ref_image = jnp.asarray(inputs["ref_image"])
@@ -227,7 +252,7 @@ def main() -> None:
             exact, exact_s, c0 = run(pipes["exact"])
             log(f"seed {seed} exact {exact_s:.2f}s/clip (first {c0:.0f}s)")
             per_mode[None].append({"clip_seconds": exact_s})
-            for i, (mode, th, stride, sampler, n_steps, label) in enumerate(
+            for i, (mode, th, stride, sampler, n_steps, label, _ex) in enumerate(
                 modes
             ):
                 frames, run_s, _ = run(pipes[i])
@@ -249,7 +274,7 @@ def main() -> None:
                 per_mode[i].append(entry)
 
         mode_rows = []
-        for i, (mode, th, stride, sampler, n_steps, label) in enumerate(modes):
+        for i, (mode, th, stride, sampler, n_steps, label, _ex) in enumerate(modes):
             rows = per_mode[i]
             mode_rows.append({
                 "mode": label or (

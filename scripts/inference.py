@@ -238,6 +238,19 @@ def inference_process(args: argparse.Namespace) -> str:
             or prof.get("cfg_cache_stride", 1) or 1
         ),
         sampler=sampler,
+        cfg_tail=int(
+            getattr(args, "cfg_tail", None)
+            if getattr(args, "cfg_tail", None) is not None
+            else prof.get("cfg_tail", 0)
+        ),
+        timestep_schedule=(
+            getattr(args, "timestep_schedule", None)
+            or prof.get("timestep_schedule", "trailing")
+        ),
+        schedule_rho=float(
+            getattr(args, "schedule_rho", None)
+            or prof.get("schedule_rho", 1.0)
+        ),
     )
 
     masks = tuple(
@@ -335,6 +348,20 @@ def main() -> None:
         "--cfg_cache_stride", type=int, default=None,
         help="recompute the CFG-uncond half only every Nth step "
              "(adaptive-guidance caching; 1 = off)")
+    parser.add_argument(
+        "--cfg_tail", type=int, default=None,
+        help="disable CFG entirely for the last N steps (guidance-interval "
+             "truncation: cond-only evals, guidance weight 1.0)")
+    parser.add_argument(
+        "--timestep_schedule", type=str, default=None,
+        choices=("trailing", "logsnr"),
+        help="eval-grid spacing: trailing (reference parity) or logsnr "
+             "(knots spaced in log-SNR — shrinks the order-1 warmup "
+             "interval that dominates low-eval error)")
+    parser.add_argument(
+        "--schedule_rho", type=float, default=None,
+        help="logsnr schedule curvature (1.0 uniform; >1 concentrates "
+             "knots at the high-noise end)")
     parser.add_argument(
         "--sampler", type=str, default=None,
         choices=("ddim", "dpm++2m", "unipc"),

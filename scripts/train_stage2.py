@@ -225,14 +225,32 @@ def train_stage2_process(cfg) -> None:
     rng = jax.random.PRNGKey(int(cfg.seed))
     metrics = MetricsLogger(exp_dir)
     t0 = time.time()
+    nan_skips = consecutive_skips = 0
+    td_window = 0.0  # dataloader stall time (reference train_stage2.py:735)
     for step in range(start_step, int(cfg.solver.max_train_steps)):
+        t_data = time.time()
         batch = put_batch(next(batches))
-        rng, sub = jax.random.split(rng)
+        td_window += time.time() - t_data
+        sub = jax.random.fold_in(rng, step)  # resume-stable per-step key
         state, step_metrics = step_fn(state, batch, sub)
+        if float(step_metrics.get("skipped", 0.0)) > 0:
+            nan_skips += 1
+            consecutive_skips += 1
+            logger.warning("step %d: non-finite loss/grads — update skipped "
+                           "(%d total)", step, nan_skips)
+            if consecutive_skips >= 25:
+                raise RuntimeError(
+                    f"{consecutive_skips} consecutive non-finite steps; "
+                    "aborting (checkpoints keep the last finite state)"
+                )
+        else:
+            consecutive_skips = 0
         if step % 10 == 0:
             line = dict(loss=float(step_metrics["loss"]),
                         grad_norm=float(step_metrics["grad_norm"]),
+                        td=round(td_window, 3), nan_skips=nan_skips,
                         sec=round(time.time() - t0, 1))
+            td_window = 0.0
             logger.info("%s", {"step": step, **line})
             metrics.log(step, **line)
         if (step + 1) % int(cfg.checkpointing_steps) == 0:

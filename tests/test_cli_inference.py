@@ -12,6 +12,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -76,6 +77,7 @@ unet_additional_kwargs:
 """
 
 
+@pytest.mark.slow
 def test_cli_inference_smoke(tmp_path):
     import cv2
     from scipy.io import wavfile
@@ -126,6 +128,7 @@ def test_cli_inference_smoke(tmp_path):
     assert frames[0].shape == (64, 64, 3)
 
 
+@pytest.mark.slow
 def test_speed_profile_definitions():
     """Pin the named speed profiles to their audited definitions (BASELINE.md
     r4 speed/quality matrix): fast = unipc @ 12 evals + CFG-uncond cache

@@ -79,6 +79,7 @@ def test_motion_module_no_motion_frames_matches():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_denoiser_clip_parallel_matches_unsharded():
     h_img = w_img = 128  # latents 16x16 -> deepest mask level 2x2 (divisible)
     f, m, b = 8, 2, 2
@@ -178,6 +179,7 @@ def test_denoiser_clip_parallel_matches_unsharded():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5, rtol=5e-5)
 
 
+@pytest.mark.slow
 def test_train_step_seq_parallel_matches_dp():
     """Stage-2 train step under the ("data","seq") shard_map path must give
     the same loss and gradients as the unsharded oracle when noise and
@@ -252,6 +254,7 @@ def test_train_step_seq_parallel_matches_dp():
         )
 
 
+@pytest.mark.slow
 def test_pipeline_clip_parallel_matches():
     """FaceAnimatePipeline(mesh=...) — the full jitted clip program with the
     denoise step shard_mapped over frames — must reproduce the single-device

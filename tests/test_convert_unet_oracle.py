@@ -282,6 +282,7 @@ TINY_UNET = dict(
 )
 
 
+@pytest.mark.slow
 def test_reference_unet_converter_oracle():
     torch.manual_seed(0)
     oracle = TUNet2D().eval()
@@ -410,6 +411,7 @@ class TVAE(tnn.Module):
         return d.conv_out(F.silu(d.conv_norm_out(h)))
 
 
+@pytest.mark.slow
 def test_vae_converter_oracle():
     torch.manual_seed(1)
     oracle = TVAE().eval()

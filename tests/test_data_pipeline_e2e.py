@@ -13,6 +13,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -34,6 +35,7 @@ def _write_video(path: str, t: int = 20, size: int = 96) -> None:
     wr.release()
 
 
+@pytest.mark.slow
 def test_data_pipeline_end_to_end(tmp_path):
     from scipy.io import wavfile
 

@@ -98,3 +98,62 @@ def test_face_analyzer_real_backend_if_present():
     analyzer = FaceAnalyzer()
     result = analyzer.detect(img)  # noise image: must not crash
     assert result is not None
+
+
+def test_fixture_breadth_preprocess():
+    """Sweep the synthetic example portraits (square original, tall with a
+    small off-center face, wide low-light) through ImageProcessor.preprocess:
+    non-square inputs must resize/crop correctly, masks must be valid
+    probability maps with a nonempty face region, and the mask pyramid must
+    carry the exact flattened shapes the denoiser consumes (VERDICT r5
+    item 7; reference surface: examples/ + README.md:209-213)."""
+    import os
+
+    from hallo_tpu.data.image_processor import ImageProcessor
+
+    root = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "reference_images")
+    proc = ImageProcessor(img_size=(128, 128))
+    for name in ("1.jpg", "2_tall.jpg", "3_wide.jpg"):
+        out = proc.preprocess(os.path.join(root, name))
+        assert out.pixel_values.shape == (128, 128, 3), name
+        assert out.pixel_values.min() >= -1.001 and out.pixel_values.max() <= 1.001
+        assert out.face_region.shape == (128, 128, 3), name
+        assert out.face_region.max() > 0, f"{name}: empty face region"
+        assert out.face_emb.shape == (512,), name
+        hl = 128 // 8
+        for d in range(4):
+            n = (hl // 2**d) ** 2
+            for pyr in (out.full_masks, out.face_masks, out.lip_masks):
+                assert pyr[d].shape == (1, n), (name, d)
+                assert np.isfinite(pyr[d]).all()
+                assert pyr[d].min() >= 0.0 and pyr[d].max() <= 1.0 + 1e-6
+        # face mask must cover a plausible fraction at the top level
+        frac = float(out.face_masks[0].mean())
+        assert 0.005 < frac < 0.95, (name, frac)
+
+
+def test_fixture_mixed_audio_preprocess():
+    """examples/driving_audios/2_mix.wav (silence + speech-like + silence)
+    through AudioProcessor smoke mode: frame count at 25 fps, finite
+    windows."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from hallo_tpu.data.audio_processor import AudioProcessor
+    from hallo_tpu.models.wav2vec import Wav2Vec2
+
+    wav = os.path.join(os.path.dirname(__file__), "..", "examples",
+                       "driving_audios", "2_mix.wav")
+    w2v_params = Wav2Vec2().init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 1600)), seq_len=3
+    )
+    ap = AudioProcessor(wav2vec_params=w2v_params)
+    emb, n_frames = ap.preprocess(wav, clip_length=4)
+    assert n_frames == 30, n_frames  # 1.2 s at 25 fps
+    emb = np.asarray(emb)
+    assert emb.ndim == 3 and emb.shape[1] == 12 and emb.shape[2] == 768
+    assert emb.shape[0] >= n_frames and emb.shape[0] % 4 == 0
+    assert np.isfinite(emb).all()

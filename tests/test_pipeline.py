@@ -271,3 +271,88 @@ def test_pipeline_cfg_cache_composes_with_dynamic(tiny_models):
     assert combo.min() >= 0.0 and combo.max() <= 1.0
     diff = np.abs(combo.astype(np.float64) - exact).mean()
     assert diff < 0.08, diff
+
+
+def _tiny_inputs(f=4, h=64, seed=0):
+    rng = np.random.default_rng(seed)
+    ref = rng.uniform(-1, 1, size=(1, h, h, 3)).astype(np.float32)
+    audio = rng.normal(size=(f, 3, 2, 4)).astype(np.float32)
+    face_emb = rng.normal(size=(1, 16)).astype(np.float32)
+    region = np.ones((1, h, h, 3), np.float32)
+    hl = h // 8
+    masks = tuple(
+        tuple(np.ones((1, (hl // 2**d) ** 2), np.float32) for _ in range(3))
+        for d in range(4)
+    )
+    return ref, audio, face_emb, region, masks
+
+
+def test_pipeline_cfg_tail_full_equals_no_guidance(tiny_models):
+    """cfg_tail == num_steps means guidance weight 1.0 everywhere and zero
+    uncond evals — must reproduce the guidance_scale=1.0 pipeline exactly
+    (pins the cond-only fast path + per-step guidance-weight combine)."""
+    f, m, steps = 4, 2, 4
+    inputs = _tiny_inputs(f)
+    kwargs = dict(
+        num_inference_steps=steps, clip_length=f, n_motion_frames=m,
+    )
+    tail = FaceAnimatePipeline(
+        tiny_models, SchedulerConfig(), guidance_scale=3.5, cfg_tail=steps,
+        **kwargs,
+    )(*inputs, seed=3)
+    plain = FaceAnimatePipeline(
+        tiny_models, SchedulerConfig(), guidance_scale=1.0, **kwargs
+    )(*inputs, seed=3)
+    # Same math, but the cond-only fast path runs the cond half at batch 1
+    # while the guidance_scale=1 pipeline runs the CFG pair at batch 2: XLA
+    # reassociates reductions differently, which can flip an occasional
+    # uint8 quantization decision. Equality up to one quantization level.
+    diff = np.abs(tail.astype(np.float64) - plain)
+    assert diff.max() <= 1.5 / 255.0, diff.max()
+    assert np.mean(diff > 0.5 / 255.0) < 1e-3, np.mean(diff > 0.5 / 255.0)
+
+
+@pytest.mark.slow
+def test_pipeline_cfg_tail_partial(tiny_models):
+    """Partial tail: close to the exact CFG path (tail steps are at low
+    noise where cond/uncond have converged), not bit-identical, in-range."""
+    f, m, steps = 4, 2, 8
+    inputs = _tiny_inputs(f)
+    kwargs = dict(
+        num_inference_steps=steps, clip_length=f, n_motion_frames=m,
+        guidance_scale=3.5,
+    )
+    exact = FaceAnimatePipeline(tiny_models, SchedulerConfig(), **kwargs)(
+        *inputs, seed=3
+    )
+    tail = FaceAnimatePipeline(
+        tiny_models, SchedulerConfig(), cfg_tail=2, **kwargs
+    )(*inputs, seed=3)
+    assert tail.shape == exact.shape
+    assert np.isfinite(tail).all()
+    assert tail.min() >= 0.0 and tail.max() <= 1.0
+    assert not np.array_equal(tail, exact)
+    assert np.mean(np.abs(tail.astype(np.float64) - exact)) < 0.08
+
+
+@pytest.mark.slow
+def test_pipeline_logsnr_schedule(tiny_models):
+    """timestep_schedule='logsnr' end-to-end with unipc: valid output,
+    differs from trailing (the knots moved), composes with the CFG plan."""
+    f, m, steps = 4, 2, 8
+    inputs = _tiny_inputs(f)
+    kwargs = dict(
+        num_inference_steps=steps, clip_length=f, n_motion_frames=m,
+        guidance_scale=3.5, sampler="unipc",
+    )
+    trail = FaceAnimatePipeline(tiny_models, SchedulerConfig(), **kwargs)(
+        *inputs, seed=3
+    )
+    ls = FaceAnimatePipeline(
+        tiny_models, SchedulerConfig(), timestep_schedule="logsnr",
+        schedule_rho=1.5, cfg_cache_stride=3, cfg_tail=2, **kwargs,
+    )(*inputs, seed=3)
+    assert ls.shape == trail.shape
+    assert np.isfinite(ls).all()
+    assert ls.min() >= 0.0 and ls.max() <= 1.0
+    assert not np.array_equal(ls, trail)

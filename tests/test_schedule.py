@@ -126,3 +126,51 @@ def test_pipeline_step_cache_close_to_exact():
     # random-init models drift more than trained ones; just require the
     # trajectories to stay in the same neighborhood
     assert np.mean(np.abs(cached - exact)) < 0.15
+
+
+def test_logsnr_timesteps_properties():
+    """logsnr schedule: same endpoints as trailing, strictly decreasing,
+    and a MUCH smaller first log-SNR interval (the order-1 warmup interval
+    that dominates low-eval global error under the zero-SNR clamp)."""
+    from hallo_tpu.diffusion import schedule
+
+    cfg = SchedulerConfig()
+    for n in (10, 12, 14):
+        trail = schedule.inference_timesteps(cfg, n)
+        ls = schedule.logsnr_timesteps(cfg, n, rho=1.0)
+        assert ls[0] == trail[0] and ls[-1] == trail[-1]
+        assert np.all(np.diff(ls) < 0), ls
+
+        acp = schedule.alphas_cumprod(cfg).astype(np.float64)
+        acp[-1] = max(acp[-1], 2.0 ** -24)
+        lam = 0.5 * np.log(acp / np.maximum(1 - acp, 1e-12))
+        gap = lambda ts: np.abs(np.diff(lam[ts]))  # noqa: E731
+        # trailing's first interval is the giant one; logsnr splits it
+        assert gap(ls)[0] < 0.5 * gap(trail)[0], (gap(ls)[0], gap(trail)[0])
+        # rho curves the interior: rho > 1 shrinks the first interval more
+        ls2 = schedule.logsnr_timesteps(cfg, n, rho=2.0)
+        assert gap(ls2)[0] <= gap(ls)[0]
+
+
+def test_make_cfg_plan():
+    from hallo_tpu.diffusion.cache import make_cfg_plan, make_uncond_mask
+
+    # 40 steps: explicit legacy warmup/cooldown reproduce make_uncond_mask
+    mask, gw = make_cfg_plan(40, 3, 3.5, warmup=6, cooldown=4)
+    np.testing.assert_array_equal(mask, make_uncond_mask(40, 3, 6, 4))
+    assert np.all(gw == 3.5)
+
+    # 12 steps: the adaptive default (warmup 2 / cooldown 1) leaves the
+    # stride actually effective (the 40-step 6/4 default left 2 skips)
+    mask, _ = make_cfg_plan(12, 3, 3.5)
+    assert (~mask).sum() >= 5, mask
+
+    # tail: last N steps never eval uncond and run at guidance weight 1
+    mask, gw = make_cfg_plan(12, 1, 3.5, tail=3)
+    assert not mask[-3:].any() and mask[:-3].all()
+    assert np.all(gw[-3:] == 1.0) and np.all(gw[:-3] == 3.5)
+    assert mask[0]
+
+    # degenerate: tail covering everything -> no uncond evals at all
+    mask, gw = make_cfg_plan(4, 1, 3.5, tail=4)
+    assert not mask.any() and np.all(gw == 1.0)

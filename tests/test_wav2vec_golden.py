@@ -70,6 +70,7 @@ def _torch_reference_forward(model, wave: np.ndarray, seq_len: int) -> np.ndarra
     return stacked.numpy()
 
 
+@pytest.mark.slow
 def test_wav2vec_encoder_matches_transformers():
     model = _tiny_hf_model()
     cfg = Wav2Vec2Config(

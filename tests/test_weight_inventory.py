@@ -20,6 +20,8 @@ unet_3d.py:717-830 from_pretrained_2d + scripts/inference.py:244-250.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -230,3 +232,36 @@ def test_net_pth_splits_fully():
         "reference_unet", "denoising_unet", "face_locator", "imageproj",
         "audioproj",
     }
+
+
+def test_preflight_check_logic():
+    """scripts/preflight_weights.check: a state dict fabricated exactly from
+    the inventory passes; any drift (missing / extra / reshaped key) is
+    named. Zero-byte broadcast views keep this cheap at full width."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "preflight_weights",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "preflight_weights.py"),
+    )
+    pf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pf)
+
+    inv = wi.sd_vae_inventory()
+    sd = {k: np.broadcast_to(np.float32(0), tuple(s)) for k, s in inv.items()}
+    assert pf.check(inv, sd) == []
+
+    bad = dict(sd)
+    bad.pop("encoder.conv_in.weight")
+    bad["rogue.key"] = np.zeros((1,), np.float32)
+    bad["decoder.conv_out.bias"] = np.zeros((7,), np.float32)
+    issues = pf.check(inv, bad)
+    assert any("missing key: encoder.conv_in.weight" in i for i in issues)
+    assert any("unexpected key in file: rogue.key" in i for i in issues)
+    assert any("shape drift at decoder.conv_out.bias" in i for i in issues)
+
+    # ignore_prefixes: the CTC head of the published wav2vec file
+    sd2 = dict(sd)
+    sd2["lm_head.weight"] = np.zeros((2, 2), np.float32)
+    assert pf.check(inv, sd2, ignore_prefixes=("lm_head.",)) == []
