@@ -139,24 +139,28 @@ def main() -> None:
             ("dynamic", thresholds[-1], 3, "unipc", 12, "turbo_unipc12", E),
         ]
     if os.environ.get("HALLO_EVAL_R5", "1") != "0":
-        # r5 fast-profile candidates (VERDICT item 3): adaptive CFG-cache
-        # warmup/cooldown (2/1 at 12 steps — the pipeline default now),
-        # guidance-interval tail truncation, and the log-SNR step schedule.
+        # r5 fast-profile candidates (VERDICT item 3), selected by the tiny
+        # on-chip pre-screen (BASELINE.md r5: log-SNR respacing and large
+        # guidance tails are measured dead ends on the PSNR-vs-exact
+        # metric; GRID-NESTED eval counts win — 1000/S spacings with S in
+        # {40,20,10,8,5} put every knot exactly on the 40-step trailing
+        # grid, and unipc@10 beat unipc@12 at tiny scale 25.8 vs 24.3 dB
+        # while being 13% cheaper).
         modes = modes + [
-            # adaptive mask alone (the new pipeline default at stride 3)
-            (None, 0.0, 3, "unipc", 12, "r5_fast_w2c1", E),
-            # + guidance tail off for the last 3 steps
-            (None, 0.0, 3, "unipc", 12, "r5_tail3",
-             {"cfg_tail": 3}),
-            # log-SNR knots (rho from the CPU pre-screen), trailing mask
-            (None, 0.0, 3, "unipc", 12, "r5_logsnr",
-             {"timestep_schedule": "logsnr",
-              "schedule_rho": float(os.environ.get("HALLO_EVAL_RHO", "1.0"))}),
-            # composed candidate
-            (None, 0.0, 3, "unipc", 12, "r5_logsnr_tail3",
-             {"timestep_schedule": "logsnr",
-              "schedule_rho": float(os.environ.get("HALLO_EVAL_RHO", "1.0")),
-              "cfg_tail": 3}),
+            # pure nested-grid UniPC at 10 evals (no caching at all)
+            (None, 0.0, 1, "unipc", 10, "r5_unipc10", E),
+            # pure nested-grid UniPC at 8 evals
+            (None, 0.0, 1, "unipc", 8, "r5_unipc8", E),
+            # 10 evals + mild CFG cache (warmup 4 / cooldown 2, stride 3:
+            # two cond-only steps)
+            (None, 0.0, 3, "unipc", 10, "r5_unipc10_c42",
+             {"cfg_cache_warmup": 4, "cfg_cache_cooldown": 2}),
+            # 8 evals + mild CFG cache (one cond-only step)
+            (None, 0.0, 3, "unipc", 8, "r5_unipc8_c42",
+             {"cfg_cache_warmup": 4, "cfg_cache_cooldown": 2}),
+            # 10 evals + guidance off at the final step only
+            (None, 0.0, 1, "unipc", 10, "r5_unipc10_t1",
+             {"cfg_tail": 1}),
         ]
     only = os.environ.get("HALLO_EVAL_MODES")
     if only:

@@ -97,6 +97,7 @@ def main():
 
     # Pruned list: every distinct config is a fresh XLA compile (the plan
     # masks/schedule knots bake in as constants), so 8 candidates, not 25.
+    # Override via HALLO_SWEEP_GRID='[[steps,"sched",rho,w,c,tail],...]'.
     grid = [
         ("trailing", 1.0, 6, 4, 0),  # r4 legacy fast (baseline row)
         ("trailing", 1.0, 2, 1, 0),  # adaptive mask alone
@@ -107,11 +108,20 @@ def main():
         ("logsnr", 1.0, 2, 1, 3),
         ("logsnr", 1.5, 2, 1, 3),
     ]
-    candidates = [
-        dict(steps=steps, sched=s, rho=r, warmup=w, cooldown=c, tail=t)
-        for steps in step_counts
-        for (s, r, w, c, t) in grid
-    ]
+    env_grid = os.environ.get("HALLO_SWEEP_GRID")
+    if env_grid:
+        rows = json.loads(env_grid)
+        candidates = [
+            dict(steps=int(st), sched=s, rho=float(r), warmup=int(w),
+                 cooldown=int(c), tail=int(t))
+            for (st, s, r, w, c, t) in rows
+        ]
+    else:
+        candidates = [
+            dict(steps=steps, sched=s, rho=r, warmup=w, cooldown=c, tail=t)
+            for steps in step_counts
+            for (s, r, w, c, t) in grid
+        ]
 
     rows = []
     for c in candidates:

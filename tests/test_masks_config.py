@@ -67,3 +67,27 @@ def test_unet_kwargs_ingestion_matches_reference_yaml():
     assert unet.stack_enable_blocks_depth == (0, 1, 2, 3)
     assert unet.motion_module.temporal_position_encoding_max_len == 32
     assert unet.audio_attention_dim == 768
+
+
+def test_load_config_python_module(tmp_path):
+    """Trainers accept a .py config exposing `cfg` (reference
+    train_stage1.py:765-780 via util.import_filename) in addition to YAML;
+    attribute access must work like the YAML DotDict path."""
+    from hallo_tpu.config import load_config
+
+    p = tmp_path / "my_cfg.py"
+    p.write_text(
+        "cfg = {'exp_name': 'pyconf', 'seed': 7,\n"
+        "       'solver': {'learning_rate': 1e-5},\n"
+        "       'data': {'train_bs': 2}}\n"
+    )
+    cfg = load_config(str(p))
+    assert str(cfg.exp_name) == "pyconf"
+    assert int(cfg.seed) == 7
+    assert float(cfg.solver.learning_rate) == 1e-5
+    assert int(cfg.data.train_bs) == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        load_config(str(tmp_path / "nope.json"))
