@@ -161,6 +161,8 @@ def main() -> None:
             # 10 evals + guidance off at the final step only
             (None, 0.0, 1, "unipc", 10, "r5_unipc10_t1",
              {"cfg_tail": 1}),
+            # 20 nested evals: the near-lossless 2x point of the frontier
+            (None, 0.0, 1, "unipc", 20, "r5_unipc20", E),
         ]
     only = os.environ.get("HALLO_EVAL_MODES")
     if only:
