@@ -104,6 +104,8 @@ def logsnr_timesteps(
         acp[-1] = max(acp[-1], 2.0**-24)  # keep lambda finite (diffusers)
     lam = 0.5 * np.log(acp / np.maximum(1.0 - acp, 1e-12))
     trail = inference_timesteps(cfg, num_steps)
+    if num_steps < 2:
+        return trail  # a single knot has no interior to respace
     t0 = int(trail[0])
     t_end = int(t_min) if t_min is not None else int(trail[-1])
     l0, l1 = lam[t0], lam[t_end]

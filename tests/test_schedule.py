@@ -174,3 +174,26 @@ def test_make_cfg_plan():
     # degenerate: tail covering everything -> no uncond evals at all
     mask, gw = make_cfg_plan(4, 1, 3.5, tail=4)
     assert not mask.any() and np.all(gw == 1.0)
+
+
+def test_fast_profile_grids_nest_into_exact_grid():
+    """The r5 fast/turbo profiles (unipc@10 / unipc@8) rely on GRID
+    NESTING: every knot of the S-step trailing schedule must lie ON the
+    40-step exact grid whenever 1000/S is a multiple of 1000/40 = 25
+    (BASELINE.md r5 — this alignment is worth ~1 dB PSNR-vs-exact and is
+    why the profiles run pure UniPC with no caching). Pins the property
+    against SchedulerConfig default drift and keeps the PROFILE_DEFAULTS
+    step counts honest."""
+    from hallo_tpu.diffusion import schedule
+
+    cfg = SchedulerConfig()
+    exact = set(schedule.inference_timesteps(cfg, 40).tolist())
+    for s in (5, 8, 10, 20):
+        ts = schedule.inference_timesteps(cfg, s)
+        assert set(ts.tolist()) <= exact, (s, sorted(set(ts) - exact))
+    # and the profile definitions actually use nested counts
+    from scripts.inference import PROFILE_DEFAULTS
+
+    for name in ("fast", "turbo"):
+        s = PROFILE_DEFAULTS[name]["inference_steps"]
+        assert 1000 % s == 0 and (1000 // s) % 25 == 0, (name, s)
