@@ -232,7 +232,17 @@ def train_stage2_process(cfg) -> None:
         batch = put_batch(next(batches))
         td_window += time.time() - t_data
         sub = jax.random.fold_in(rng, step)  # resume-stable per-step key
-        state, step_metrics = step_fn(state, batch, sub)
+        if step == start_step:
+            # First dispatch compiles + loads the big program: the TPU
+            # worker can fault transiently there (utils/retry.py); OOMs
+            # propagate immediately (deterministic).
+            from hallo_tpu.utils.retry import retry_transient
+
+            state, step_metrics = retry_transient(
+                step_fn, state, batch, sub, what="first train step",
+            )
+        else:
+            state, step_metrics = step_fn(state, batch, sub)
         if float(step_metrics.get("skipped", 0.0)) > 0:
             nan_skips += 1
             consecutive_skips += 1
